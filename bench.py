@@ -1,0 +1,50 @@
+"""Headline benchmark: ray throughput on BASELINE config 3
+(1k advected particles, per-particle 128^3 volumes, 1080p render loop).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/500}
+where the baseline is the driver target of 500 Mrays/s per v5e chip
+(BASELINE.md; the reference publishes no numbers of its own).
+
+The measured quantity is the full frame step (sim + bin + march +
+composite) in steady state with the image kept on device — pixels/sec/1e6.
+"""
+import os
+import sys
+import json
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from volq.scene.config import c3
+    from volq.engine.loop import setup, frame, _sync
+
+    cfg = c3()
+    state, camera, light = setup(cfg)
+
+    # compile + settle into the steady state of the live loop
+    for _ in range(3):
+        state, image, stats = frame(state, camera, light, cfg)
+    _sync(image)
+
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, image, stats = frame(state, camera, light, cfg)
+    _sync(image)
+    dt = (time.perf_counter() - t0) / n
+
+    rays = cfg.render.width * cfg.render.height
+    mrays = rays / dt / 1e6
+    print(json.dumps({
+        "metric": "ray_throughput_c3_1080p_1k_particles",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

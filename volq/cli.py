@@ -1,0 +1,133 @@
+"""Command-line demo/driver (SURVEY.md C10): render frames from a preset or
+a JSON config to PNG/npy, benchmark, save/restore checkpoints.
+
+Examples:
+  python -m volq.cli --preset c2 --frames 8 --out out/ --png
+  python -m volq.cli --preset c3 --bench
+  python -m volq.cli --config my.json --frames 60 --checkpoint ck.npz
+  python -m volq.cli --preset c1 --set render.steps=64 --frames 1 --png
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _apply_override(cfg, assignment: str):
+    """--set a.b.c=json_value on nested frozen dataclasses."""
+    path, _, raw = assignment.partition("=")
+    try:
+        val = json.loads(raw)
+    except json.JSONDecodeError:
+        val = raw
+    keys = path.split(".")
+
+    def rec(obj, ks):
+        if len(ks) == 1:
+            if isinstance(val, list):
+                return dataclasses.replace(obj, **{ks[0]: tuple(val)})
+            return dataclasses.replace(obj, **{ks[0]: val})
+        return dataclasses.replace(obj, **{ks[0]: rec(getattr(obj, ks[0]),
+                                                      ks[1:])})
+
+    return rec(cfg, keys)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="volq", description=__doc__)
+    ap.add_argument("--preset", choices=["c1", "c2", "c3", "c4", "c5"])
+    ap.add_argument("--config", help="JSON config file")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="override config fields, e.g. render.steps=16")
+    ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--warmup", type=int, default=0)
+    ap.add_argument("--out", default="out")
+    ap.add_argument("--png", action="store_true", help="save PNG frames")
+    ap.add_argument("--npy", action="store_true", help="save npy frames")
+    ap.add_argument("--bench", action="store_true",
+                    help="time steady-state frames instead of saving")
+    ap.add_argument("--checkpoint", help="save final state here (.npz)")
+    ap.add_argument("--resume", help="load state from this checkpoint")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard over this many devices (0 = single)")
+    ap.add_argument("--dump-config", action="store_true")
+    args = ap.parse_args(argv)
+
+    from volq.scene.config import PRESETS, from_json, to_json
+    from volq.engine import loop, io, checkpoint
+
+    if args.config:
+        cfg = from_json(open(args.config).read())
+    elif args.preset:
+        cfg = PRESETS[args.preset]()
+    else:
+        ap.error("need --preset or --config")
+    for s in args.set:
+        cfg = _apply_override(cfg, s)
+
+    if args.dump_config:
+        print(to_json(cfg))
+        return 0
+
+    if args.bench:
+        dt, stats = loop.time_frames(cfg, max(args.frames, 10))
+        rays = cfg.render.width * cfg.render.height
+        print(json.dumps({
+            "frame_ms": round(dt * 1e3, 3),
+            "fps": round(1.0 / dt, 1),
+            "mrays_per_s": round(rays / dt / 1e6, 1),
+            "stats": {k: int(v) for k, v in stats.items()},
+        }))
+        return 0
+
+    import jax
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.mesh:
+        from volq.dist.mesh import make_mesh
+        from volq.dist.sharded import sharded_frame_fn, shard_state
+        mesh = make_mesh(args.mesh)
+        if args.resume:
+            state, cfg = checkpoint.load_state(args.resume)
+        else:
+            state = loop.setup(cfg)[0]
+        _, camera, light = loop.setup(cfg)
+        state = shard_state(state, mesh)
+        fr = sharded_frame_fn(cfg, mesh)
+        step = lambda st: fr(st, camera, light)
+    else:
+        if args.resume:
+            state, cfg = checkpoint.load_state(args.resume)
+            _, camera, light = loop.setup(cfg)
+        else:
+            state, camera, light = loop.setup(cfg)
+        step = lambda st: loop.frame(st, camera, light, cfg)
+
+    t_start = time.perf_counter()
+    for i in range(args.frames):
+        state, image, stats = step(state)
+        if args.png or not args.npy:
+            io.save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
+                        io.tonemap(jax.device_get(image)))
+        if args.npy:
+            io.save_npy(os.path.join(args.out, f"frame_{i:04d}.npy"),
+                        jax.device_get(image))
+        host = {k: int(v) for k, v in jax.device_get(stats).items()}
+        print(f"frame {i}: alive={host['alive']} pairs={host['pairs_kept']}"
+              f" dropped={host['cap_dropped'] + host['rank_dropped']}",
+              file=sys.stderr)
+    dt = time.perf_counter() - t_start
+    print(f"{args.frames} frames in {dt:.2f}s "
+          f"({args.frames / dt:.1f} fps incl. IO)", file=sys.stderr)
+
+    if args.checkpoint:
+        checkpoint.save_state(args.checkpoint, state, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

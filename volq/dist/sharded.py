@@ -1,0 +1,124 @@
+"""The sharded frame step (SURVEY.md section 2/5: the distributed path).
+
+BASELINE config 5 renders 4K with ray tiles sharded across a v5e-8 mesh.
+One shard_map program per frame over a 1-D mesh:
+
+  * sim: particle slots sharded (DP over particles); emission ranks are
+    globalized with a prefix over shards (sim/step.py), and per-slot
+    counter PRNG keeps results bit-identical to single-chip;
+  * animated volume re-bake: bank entries sharded over the mesh, then
+    all_gather (bandwidth: the bank is small; the bake is VPU-heavy);
+  * particle state all_gather (~1 MB at 16k particles — rides ICI);
+  * render: contiguous flat-tile ranges per shard, fully independent —
+    pure data parallelism over rays, no collective in the hot loop;
+  * stats: psum/pmax reductions.
+
+The image is returned as sharded flat tiles; assembly to [H, W, 4] happens
+in the enclosing jit (a layout shuffle XLA handles).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from volq.core.types import Particles, SceneState
+from volq.dist.mesh import AXIS
+from volq.render.xla_render import render_tiles, assemble_image
+from volq.scene.config import SceneConfig
+from volq.sim.step import sim_step
+from volq.volume.bake import bake_bank_4d
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def state_specs(sharded_particles: bool):
+    pspec = P(AXIS) if sharded_particles else P()
+    return SceneState(
+        particles=Particles(pos=pspec, vel=pspec, age=pspec, lifetime=pspec,
+                            size=pspec, albedo=pspec, vol_idx=pspec),
+        volumes=P(), frame=P(), spawn_carry=P(), time=P(), base_key=P(),
+    )
+
+
+def shard_state(state: SceneState, mesh) -> SceneState:
+    """Place a host/single-device state onto the mesh: particle axis
+    sharded, everything else replicated."""
+    specs = state_specs(sharded_particles=True)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def sharded_frame_fn(cfg: SceneConfig, mesh):
+    """Build the jitted sharded frame step for (cfg, mesh).
+
+    Returns f(state, camera, light) -> (state', image [H,W,4], stats) with
+    state sharded as in shard_state. N particles and the volume bank size
+    must divide the mesh size (validated here).
+    """
+    n_shards = mesh.devices.size
+    r = cfg.render
+    n_tiles = (r.width // r.tile_w) * (r.height // r.tile_h)
+    tiles_local = _cdiv(n_tiles, n_shards)
+    if cfg.n_particles % n_shards:
+        raise ValueError(f"n_particles {cfg.n_particles} must divide by "
+                         f"mesh size {n_shards}")
+    v = cfg.volume
+    bake_sharded = v.animated and v.bank_size % n_shards == 0
+
+    def shard_body(state: SceneState, camera, light):
+        state = sim_step(state, cfg, axis_name=AXIS)
+        idx = jax.lax.axis_index(AXIS)
+
+        volumes = state.volumes
+        if v.animated:
+            if bake_sharded:
+                local_m = v.bank_size // n_shards
+                ids = idx * local_m + jnp.arange(local_m, dtype=jnp.int32)
+                local = bake_bank_4d(
+                    v.bank_size, v.size, v.seed, state.time,
+                    octaves=v.octaves, noise_scale=v.noise_scale,
+                    time_scale=v.time_scale, cutoff=v.cutoff, ids=ids)
+                volumes = jax.lax.all_gather(local, AXIS, axis=0,
+                                             tiled=True)
+            else:
+                volumes = bake_bank_4d(
+                    v.bank_size, v.size, v.seed, state.time,
+                    octaves=v.octaves, noise_scale=v.noise_scale,
+                    time_scale=v.time_scale, cutoff=v.cutoff)
+        state = state._replace(volumes=volumes)
+
+        # Replicate the freshly-stepped particle state for binning/render.
+        parts_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True),
+            state.particles)
+
+        tile_start = idx * tiles_local
+        tiles, stats = render_tiles(parts_full, volumes, camera, light,
+                                    cfg, tile_start=tile_start,
+                                    n_tiles_local=tiles_local)
+        # "alive"/"mt_overflow" are computed from the replicated particle
+        # state (identical on every shard): pmax is the identity for them.
+        replicated = {"alive", "mt_overflow", "max_pairs_per_tile_seen"}
+        stats = {
+            k: (jax.lax.pmax(v_, AXIS) if k in replicated
+                else jax.lax.psum(v_, AXIS))
+            for k, v_ in stats.items()
+        }
+        return state, tiles, stats
+
+    in_specs = (state_specs(True), P(), P())
+    out_specs = (state_specs(True), P(AXIS), P())
+    body = jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def frame(state, camera, light):
+        state, tiles, stats = body(state, camera, light)
+        return state, assemble_image(tiles, cfg), stats
+
+    return frame

@@ -1,0 +1,96 @@
+"""Frame loop driver (SURVEY.md C10, call stack 3.5).
+
+The host crosses the device boundary at most twice per displayed frame:
+nothing in (state is resident, time is a device counter), and the image out
+only when the caller actually fetches it.  ``frame`` is one jitted program:
+sim step -> (optional per-frame 4D volume re-bake) -> bin -> march ->
+composite, with per-frame stats returned device-side.
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+from volq.core.types import SceneState
+from volq.render.xla_render import render
+from volq.scene.config import SceneConfig
+from volq.scene.state import init_scene, build_camera, build_light
+from volq.sim.step import sim_step
+from volq.volume.bake import bake_bank_4d
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def frame(state: SceneState, camera, light, cfg: SceneConfig):
+    """Advance one frame. Returns (new_state, image [H,W,4], stats)."""
+    state = sim_step(state, cfg)
+    if cfg.volume.animated:
+        v = cfg.volume
+        volumes = bake_bank_4d(v.bank_size, v.size, v.seed, state.time,
+                               octaves=v.octaves, noise_scale=v.noise_scale,
+                               time_scale=v.time_scale, cutoff=v.cutoff)
+        state = state._replace(volumes=volumes)
+    image, stats = render(state.particles, state.volumes, camera, light, cfg)
+    return state, image, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_only(state: SceneState, camera, light, cfg: SceneConfig):
+    """Render the current state without stepping (used by tests/bench)."""
+    return render(state.particles, state.volumes, camera, light, cfg)
+
+
+def setup(cfg: SceneConfig):
+    """Config -> (state, camera, light). The Start() analogue."""
+    camera = build_camera(cfg.camera, cfg.render.width, cfg.render.height)
+    light = build_light(cfg.light)
+    return init_scene(cfg), camera, light
+
+
+def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,
+        fetch_images: bool = True, on_frame=None):
+    """Run the loop for n_frames (after ``warmup`` un-rendered sim steps).
+
+    Returns (final_state, list of images or None, list of host stats dicts).
+    """
+    state, camera, light = setup(cfg)
+    step_only = jax.jit(sim_step, static_argnames=("cfg",))
+    for _ in range(warmup):
+        state = step_only(state, cfg)
+
+    images, all_stats = [], []
+    for _ in range(n_frames):
+        state, image, stats = frame(state, camera, light, cfg)
+        if fetch_images:
+            images.append(jax.device_get(image))
+        host_stats = {k: int(v) for k, v in jax.device_get(stats).items()}
+        all_stats.append(host_stats)
+        if on_frame is not None:
+            on_frame(len(images) - 1, image, host_stats)
+    return state, images if fetch_images else None, all_stats
+
+
+def _sync(x):
+    """Force execution to complete.  jax.block_until_ready is NOT reliable
+    on relayed backends (it can return before the computation ran —
+    docs/DESIGN.md §5); fetching a scalar is."""
+    return float(jnp.sum(x[:2, :2]))
+
+
+def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 3):
+    """Benchmark helper: steady-state seconds/frame with the image kept on
+    device (only a tiny checksum is fetched per timing fence, as SURVEY
+    §3.5 prescribes)."""
+    state, camera, light = setup(cfg)
+    st, image, stats = frame(state, camera, light, cfg)
+    for _ in range(warmup):
+        st, image, stats = frame(st, camera, light, cfg)
+    _sync(image)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        st, image, stats = frame(st, camera, light, cfg)
+    _sync(image)
+    dt = (time.perf_counter() - t0) / n_frames
+    return dt, jax.device_get(stats)

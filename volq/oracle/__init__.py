@@ -1,0 +1,3 @@
+from volq.oracle.raymarch_cpu import render_oracle
+
+__all__ = ["render_oracle"]

@@ -1,0 +1,240 @@
+"""Scene configuration (SURVEY.md C11 + section 5 "config/flag system").
+
+The reference exposed its tunables as Unity inspector fields serialized in
+the scene asset; here they are frozen dataclasses (hashable => usable as
+static jit arguments), serializable to/from JSON, with the five BASELINE
+configs (BASELINE.json:7-11) shipped as named presets c1..c5.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Tuple
+
+Vec3 = Tuple[float, float, float]
+
+
+@dataclass(frozen=True)
+class VolumeConfig:
+    size: int = 32            # V: voxels per axis
+    bank_size: int = 1        # M: number of distinct volumes in the bank
+    octaves: int = 4
+    noise_scale: float = 4.0
+    cutoff: float = 0.15
+    animated: bool = False    # 4D time-animated noise, re-baked per frame
+    time_scale: float = 0.5
+    seed: int = 7
+
+
+@dataclass(frozen=True)
+class EmitterConfig:
+    rate: float = 0.0         # spawns/second (0 => static scene)
+    center: Vec3 = (0.0, 0.0, 0.0)
+    radius: float = 1.0       # spawn positions uniform in this ball
+    vel_base: Vec3 = (0.0, 0.0, 0.0)
+    vel_spread: float = 0.0   # isotropic normal std added to vel_base
+    life_min: float = 2.0
+    life_max: float = 4.0
+    size_min: float = 0.5     # AABB half-extent range
+    size_max: float = 0.5
+    albedo_base: Vec3 = (1.0, 1.0, 1.0)
+    albedo_var: float = 0.0   # per-channel multiplicative variation in [0,1]
+
+
+@dataclass(frozen=True)
+class ForcesConfig:
+    gravity: Vec3 = (0.0, 0.0, 0.0)
+    drag: float = 0.0
+    curl_strength: float = 0.0
+    curl_freq: float = 0.25
+    curl_seed: int = 77
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    eye: Vec3 = (0.0, 0.0, -8.0)
+    look_at: Vec3 = (0.0, 0.0, 0.0)
+    up: Vec3 = (0.0, 1.0, 0.0)
+    projection: str = "persp"   # "persp" | "ortho"
+    fov_y_deg: float = 45.0
+    ortho_half_h: float = 2.0
+
+
+@dataclass(frozen=True)
+class LightConfig:
+    direction: Vec3 = (0.4, 1.0, -0.4)  # toward the light (normalized later)
+    color: Vec3 = (1.0, 0.96, 0.9)
+    ambient: Vec3 = (0.08, 0.09, 0.12)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    steps: int = 32            # primary march steps per (ray, particle)
+    light_steps: int = 0       # secondary light-march steps (0 => unshadowed)
+    density_scale: float = 8.0 # extinction scale applied to sampled density
+    fade_in: float = 0.15      # opacity envelope, fractions of lifetime
+    fade_out: float = 0.3
+    tile_h: int = 8            # screen tile shape; (8, 128) is VPU-native
+    tile_w: int = 128
+    max_tiles_per_particle: int = 64   # MT: candidate pairs per particle
+    max_pairs: int = 8192              # compact marched-pair budget
+    max_pairs_per_tile: int = 32       # per-tile composite depth (K)
+    background: Vec3 = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class SceneConfig:
+    n_particles: int = 64
+    dt: float = 1.0 / 60.0
+    seed: int = 0
+    init: str = "empty"        # "empty" | "random" | "grid" | "single"
+    init_age_frac: Tuple[float, float] = (0.45, 0.55)  # age/lifetime at init
+    volume: VolumeConfig = field(default_factory=VolumeConfig)
+    emitter: EmitterConfig = field(default_factory=EmitterConfig)
+    forces: ForcesConfig = field(default_factory=ForcesConfig)
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    light: LightConfig = field(default_factory=LightConfig)
+    render: RenderConfig = field(default_factory=RenderConfig)
+
+    def __post_init__(self):
+        r = self.render
+        if r.width % r.tile_w or r.height % r.tile_h:
+            raise ValueError(
+                f"image {r.width}x{r.height} must tile exactly by "
+                f"{r.tile_w}x{r.tile_h}")
+        if self.camera.projection not in ("persp", "ortho"):
+            raise ValueError(f"bad projection {self.camera.projection!r}")
+
+
+# ---------------------------------------------------------------------------
+# JSON round-trip (the "config file + flag overrides" story of SURVEY §5).
+
+def _from_dict(cls, d):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+                "volume", "emitter", "forces", "camera", "light", "render"):
+            sub = {"volume": VolumeConfig, "emitter": EmitterConfig,
+                   "forces": ForcesConfig, "camera": CameraConfig,
+                   "light": LightConfig, "render": RenderConfig}[f.name]
+            v = _from_dict(sub, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def to_json(cfg: SceneConfig) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def from_json(text: str) -> SceneConfig:
+    return _from_dict(SceneConfig, json.loads(text))
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE presets (BASELINE.json:7-11).
+
+def c1() -> SceneConfig:
+    """Single static particle, 32^3 volume, 256x256 ortho camera."""
+    return SceneConfig(
+        n_particles=1, init="single", seed=1,
+        volume=VolumeConfig(size=32, bank_size=1, noise_scale=3.0),
+        emitter=EmitterConfig(center=(0.0, 0.0, 0.0), size_min=1.0,
+                              size_max=1.0, life_min=1e4, life_max=1e4),
+        camera=CameraConfig(eye=(0.0, 0.0, -4.0), projection="ortho",
+                            ortho_half_h=1.5),
+        render=RenderConfig(width=256, height=256, steps=32,
+                            max_tiles_per_particle=64, max_pairs=1024,
+                            max_pairs_per_tile=4, density_scale=10.0),
+    )
+
+
+def c2() -> SceneConfig:
+    """64 particles sharing one 64^3 volume, 512x512 perspective,
+    depth-sorted front-to-back compositing."""
+    return SceneConfig(
+        n_particles=64, init="grid", seed=2,
+        volume=VolumeConfig(size=64, bank_size=1, noise_scale=3.5),
+        emitter=EmitterConfig(center=(0.0, 0.0, 0.0), radius=2.2,
+                              size_min=0.45, size_max=0.8,
+                              life_min=1e4, life_max=1e4,
+                              albedo_base=(1.0, 0.9, 0.8), albedo_var=0.35),
+        camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
+        render=RenderConfig(width=512, height=512, steps=32,
+                            max_tiles_per_particle=128, max_pairs=4096,
+                            max_pairs_per_tile=48, density_scale=9.0),
+    )
+
+
+def c3() -> SceneConfig:
+    """1k advected particles (gravity+drag+curl), per-particle 128^3 volumes,
+    1080p render loop. The headline benchmark config."""
+    return SceneConfig(
+        n_particles=1024, init="random", seed=3,
+        volume=VolumeConfig(size=128, bank_size=1024, octaves=4,
+                            noise_scale=3.0),
+        emitter=EmitterConfig(rate=256.0, center=(0.0, 0.0, 0.0), radius=4.5,
+                              vel_base=(0.0, 0.6, 0.0), vel_spread=0.35,
+                              life_min=3.0, life_max=6.0,
+                              size_min=0.3, size_max=0.55,
+                              albedo_base=(0.95, 0.93, 0.9), albedo_var=0.3),
+        forces=ForcesConfig(gravity=(0.0, -0.25, 0.0), drag=0.35,
+                            curl_strength=1.4, curl_freq=0.35),
+        camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
+                            fov_y_deg=40.0),
+        render=RenderConfig(width=1920, height=1080, steps=24,
+                            max_tiles_per_particle=64, max_pairs=24576,
+                            max_pairs_per_tile=64, density_scale=10.0),
+    )
+
+
+def c4() -> SceneConfig:
+    """4k particles + directional light-march self-shadowing at 1080p."""
+    return SceneConfig(
+        n_particles=4096, init="random", seed=4,
+        volume=VolumeConfig(size=64, bank_size=64, noise_scale=3.0),
+        emitter=EmitterConfig(rate=1024.0, center=(0.0, 0.0, 0.0), radius=5.0,
+                              vel_base=(0.0, 0.5, 0.0), vel_spread=0.3,
+                              life_min=3.0, life_max=6.0,
+                              size_min=0.22, size_max=0.4,
+                              albedo_base=(0.95, 0.93, 0.9), albedo_var=0.25),
+        forces=ForcesConfig(gravity=(0.0, -0.2, 0.0), drag=0.3,
+                            curl_strength=1.2, curl_freq=0.3),
+        camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
+                            fov_y_deg=40.0),
+        render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
+                            max_tiles_per_particle=48, max_pairs=32768,
+                            max_pairs_per_tile=64, density_scale=10.0),
+    )
+
+
+def c5() -> SceneConfig:
+    """16k particles, time-animated 4D noise density, 4K render, ray tiles
+    sharded across a TPU mesh (dist/)."""
+    return SceneConfig(
+        n_particles=16384, init="random", seed=5,
+        volume=VolumeConfig(size=64, bank_size=16, animated=True, octaves=3,
+                            noise_scale=3.0),
+        emitter=EmitterConfig(rate=4096.0, center=(0.0, 0.0, 0.0), radius=6.5,
+                              vel_base=(0.0, 0.45, 0.0), vel_spread=0.3,
+                              life_min=3.0, life_max=6.0,
+                              size_min=0.18, size_max=0.32,
+                              albedo_base=(0.95, 0.93, 0.9), albedo_var=0.25),
+        forces=ForcesConfig(gravity=(0.0, -0.2, 0.0), drag=0.3,
+                            curl_strength=1.1, curl_freq=0.28),
+        camera=CameraConfig(eye=(0.0, 4.0, -19.0), look_at=(0.0, 0.5, 0.0),
+                            fov_y_deg=42.0),
+        render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
+                            max_tiles_per_particle=32, max_pairs=65536,
+                            max_pairs_per_tile=64, density_scale=10.0),
+    )
+
+
+PRESETS = {"c1": c1, "c2": c2, "c3": c3, "c4": c4, "c5": c5}
