@@ -52,10 +52,11 @@ class TestTrilinear:
     def test_corner_exact(self):
         V = 4
         vol = jnp.arange(V ** 3, dtype=jnp.float32).reshape(1, -1)
-        # local coords of grid point (1,2,3) = indices / (V-1)
+        # local coords of grid point (x=1, y=2, z=3) = indices / (V-1);
+        # z-major layout: lin = (z*V + x)*V + y
         u = jnp.array([[1 / 3, 2 / 3, 1.0]])
         got = sample_bank_trilinear(vol, V, jnp.array([0]), u)
-        want = (1 * V + 2) * V + 3
+        want = (3 * V + 1) * V + 2
         assert np.isclose(float(got[0]), want, atol=1e-4)
 
     def test_cell_center_average(self):

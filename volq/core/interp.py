@@ -36,28 +36,32 @@ def sample_bank_trilinear(bank2d, size: int, vol, u):
     bank2d: [M, V^3] density values (any float dtype; math in fp32).  The
             2-D layout keeps both gather indices within int32 even when
             M * V^3 reaches 2^31 (1024 particles x 128^3 does exactly).
+            Volume linearization is z-major: element (x, y, z) lives at
+            (z * V + x) * V + y — i.e. the volume is [V_z, V_x, V_y], so a
+            constant-z slice is contiguous (what the slab renderer marches).
     size:   V (static).
     vol:    [...] int32, per-point volume index (bank row).
-    u:      [..., 3] f32 local coordinates in [0, 1]^3.
+    u:      [..., 3] f32 local coordinates in [0, 1]^3 (x, y, z order).
     Returns [...] f32 densities.
     """
     V = size
     i0, f = trilinear_weights(u, V)
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-    lin000 = (x0 * V + y0) * V + z0
+    lin000 = (z0 * V + x0) * V + y0
 
     def fetch(off):
         return bank2d[vol, lin000 + off].astype(jnp.float32)
 
-    # Offsets of the 8 cell corners in the x-major linearization.
-    c000 = fetch(0)
-    c001 = fetch(1)
-    c010 = fetch(V)
-    c011 = fetch(V + 1)
-    c100 = fetch(V * V)
-    c101 = fetch(V * V + 1)
-    c110 = fetch(V * V + V)
+    # Corner offsets in the z-major linearization: +1 => y+1, +V => x+1,
+    # +V^2 => z+1.
+    c000 = fetch(0)            # (x0, y0, z0)
+    c001 = fetch(V * V)        # z+1
+    c010 = fetch(1)            # y+1
+    c011 = fetch(V * V + 1)
+    c100 = fetch(V)            # x+1
+    c101 = fetch(V * V + V)
+    c110 = fetch(V + 1)
     c111 = fetch(V * V + V + 1)
 
     c00 = c000 + (c001 - c000) * fz

@@ -26,10 +26,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from volq.core.types import Particles, SceneState
 from volq.dist.mesh import AXIS
-from volq.render.xla_render import render_tiles, assemble_image
+from volq.render import render_frame_tiles, assemble_image
 from volq.scene.config import SceneConfig
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
+from volq.volume.lightbake import bake_light_volumes
 
 
 def _cdiv(a, b):
@@ -97,10 +98,16 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
             lambda x: jax.lax.all_gather(x, AXIS, axis=0, tiled=True),
             state.particles)
 
+        light_volumes = None
+        if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
+            light_volumes = bake_light_volumes(
+                volumes, jnp.asarray(light.direction, jnp.float32))
+
         tile_start = idx * tiles_local
-        tiles, stats = render_tiles(parts_full, volumes, camera, light,
-                                    cfg, tile_start=tile_start,
-                                    n_tiles_local=tiles_local)
+        tiles, stats = render_frame_tiles(parts_full, volumes, camera, light,
+                                          cfg, tile_start=tile_start,
+                                          n_tiles_local=tiles_local,
+                                          light_volumes=light_volumes)
         # "alive"/"mt_overflow" are computed from the replicated particle
         # state (identical on every shard): pmax is the identity for them.
         replicated = {"alive", "mt_overflow", "max_pairs_per_tile_seen"}

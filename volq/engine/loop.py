@@ -15,11 +15,21 @@ import jax
 import jax.numpy as jnp
 
 from volq.core.types import SceneState
-from volq.render.xla_render import render
+from volq.render import render_frame
 from volq.scene.config import SceneConfig
 from volq.scene.state import init_scene, build_camera, build_light
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
+from volq.volume.lightbake import bake_light_volumes
+
+
+def _light_volumes(state, light, cfg: SceneConfig):
+    """Slab engine + shadowing: per-frame baked light optical depth.
+    (Static scenes recompute it too — it is cheap relative to the march;
+    cache later if profiling says otherwise.)"""
+    if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
+        return bake_light_volumes(state.volumes, jnp.asarray(light.direction))
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -32,14 +42,18 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig):
                                octaves=v.octaves, noise_scale=v.noise_scale,
                                time_scale=v.time_scale, cutoff=v.cutoff)
         state = state._replace(volumes=volumes)
-    image, stats = render(state.particles, state.volumes, camera, light, cfg)
+    image, stats = render_frame(state.particles, state.volumes, camera,
+                                light, cfg,
+                                light_volumes=_light_volumes(state, light,
+                                                             cfg))
     return state, image, stats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_only(state: SceneState, camera, light, cfg: SceneConfig):
     """Render the current state without stepping (used by tests/bench)."""
-    return render(state.particles, state.volumes, camera, light, cfg)
+    return render_frame(state.particles, state.volumes, camera, light, cfg,
+                        light_volumes=_light_volumes(state, light, cfg))
 
 
 def setup(cfg: SceneConfig):

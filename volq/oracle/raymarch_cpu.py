@@ -56,7 +56,9 @@ def _ray_aabb(o, d, lo, hi):
 
 
 def _trilinear(vol, u):
-    """vol: [V,V,V] float; u: [..., 3] in [0,1]. Mirrors core/interp.py."""
+    """vol: [V,V,V] float stored z-major (axes are z, x, y — a constant-z
+    slice is vol[k]); u: [..., 3] local coords (x, y, z order) in [0,1].
+    Mirrors core/interp.py."""
     V = vol.shape[0]
     g = u * (V - 1)
     i0 = np.clip(np.floor(g), 0, V - 2).astype(np.int64)
@@ -64,14 +66,14 @@ def _trilinear(vol, u):
     x0, y0, z0 = i0[..., 0], i0[..., 1], i0[..., 2]
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     c = vol
-    c000 = c[x0, y0, z0]
-    c001 = c[x0, y0, z0 + 1]
-    c010 = c[x0, y0 + 1, z0]
-    c011 = c[x0, y0 + 1, z0 + 1]
-    c100 = c[x0 + 1, y0, z0]
-    c101 = c[x0 + 1, y0, z0 + 1]
-    c110 = c[x0 + 1, y0 + 1, z0]
-    c111 = c[x0 + 1, y0 + 1, z0 + 1]
+    c000 = c[z0, x0, y0]
+    c001 = c[z0 + 1, x0, y0]
+    c010 = c[z0, x0, y0 + 1]
+    c011 = c[z0 + 1, x0, y0 + 1]
+    c100 = c[z0, x0 + 1, y0]
+    c101 = c[z0 + 1, x0 + 1, y0]
+    c110 = c[z0, x0 + 1, y0 + 1]
+    c111 = c[z0 + 1, x0 + 1, y0 + 1]
     c00 = c000 + (c001 - c000) * fz
     c01 = c010 + (c011 - c010) * fz
     c10 = c100 + (c101 - c100) * fz

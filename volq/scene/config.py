@@ -72,8 +72,13 @@ class LightConfig:
 class RenderConfig:
     width: int = 512
     height: int = 512
+    engine: str = "exact"      # "exact" (per-ray gather march, the
+                               # semantics-of-record path) | "slab"
+                               # (gather-free z-plane/MXU path, render/slab.py)
     steps: int = 32            # primary march steps per (ray, particle)
     light_steps: int = 0       # secondary light-march steps (0 => unshadowed)
+    slab_fp32: bool = True     # slab engine: fp32 weights/slabs (False:
+                               # bf16 — faster, needs the bf16 oracle mode)
     density_scale: float = 8.0 # extinction scale applied to sampled density
     fade_in: float = 0.15      # opacity envelope, fractions of lifetime
     fade_out: float = 0.3
@@ -107,6 +112,9 @@ class SceneConfig:
                 f"{r.tile_w}x{r.tile_h}")
         if self.camera.projection not in ("persp", "ortho"):
             raise ValueError(f"bad projection {self.camera.projection!r}")
+        if r.engine not in ("exact", "slab"):
+            raise ValueError(f"bad render engine {r.engine!r} "
+                             "(expected 'exact' or 'slab')")
 
 
 # ---------------------------------------------------------------------------

@@ -19,9 +19,11 @@ from volq.volume.noise import fbm3, fbm4, _hash_base, _u2f
 
 
 def _lattice(size: int):
-    """Local coords u in [0,1]^3 of every voxel center, shape [V,V,V,3]."""
+    """Local coords u (x, y, z order) of every voxel center, laid out
+    z-major to match the renderers' volume convention (core/interp.py):
+    array axes are (z, x, y), shape [V,V,V,3]."""
     ax = jnp.arange(size, dtype=jnp.float32) / (size - 1)
-    ux, uy, uz = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    uz, ux, uy = jnp.meshgrid(ax, ax, ax, indexing="ij")
     return jnp.stack([ux, uy, uz], axis=-1)
 
 
