@@ -102,6 +102,65 @@ def test_slab_lit_matches_oracle(tiny_lit_cfg):
     assert np.asarray(img_unlit)[..., :3].sum() > img[..., :3].sum()
 
 
+def test_slab_windowed_matches_oracle(tiny_cfg):
+    """slab_window < V: the sampling window is part of the spec; device
+    and oracle must agree whether or not the window truncates."""
+    cfg = dataclasses.replace(
+        tiny_cfg, render=dataclasses.replace(tiny_cfg.render, engine="slab",
+                                             slab_window=10))
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_slab_bf16_matches_quantized_oracle(tiny_cfg):
+    """slab_fp32=False: device uses bf16 weights/slabs; the oracle
+    quantizes identically, so the 1e-3 budget still holds."""
+    cfg = dataclasses.replace(
+        tiny_cfg, render=dataclasses.replace(tiny_cfg.render, engine="slab",
+                                             slab_fp32=False, slab_window=12))
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_slab_grouped_matches_pairwise(tiny_cfg):
+    """The particle-grouped march is an execution strategy, not a
+    semantics change: grouped and pair-based slab renders must be
+    near-identical, and both match the oracle."""
+    base = dataclasses.replace(
+        tiny_cfg, render=dataclasses.replace(
+            tiny_cfg.render, engine="slab", slab_window=10))
+    grouped = dataclasses.replace(
+        base, render=dataclasses.replace(base.render, slab_grouped=True,
+                                         slab_particle_chunk=4))
+    state, camera, light = setup(base)
+    img_p, _ = render_only(state, camera, light, base)
+    img_g, stats = render_only(state, camera, light, grouped)
+    assert np.abs(np.asarray(img_p, np.float64)
+                  - np.asarray(img_g, np.float64)).max() < 1e-5
+    d, img, _ = _diff(grouped, state, camera, light)
+    assert d < TOL, f"grouped vs oracle: {d}"
+
+
+def test_slab_grouped_lit_large_bank(tiny_cfg):
+    """Grouped march through the row-gather path (bank > ONEHOT_MAX_BANK)
+    with lighting."""
+    cfg = dataclasses.replace(
+        tiny_cfg, n_particles=8,
+        volume=VolumeConfig(size=8, bank_size=80, octaves=1),
+        render=dataclasses.replace(tiny_cfg.render, engine="slab",
+                                   slab_grouped=True, light_steps=4,
+                                   slab_particle_chunk=4))
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert d < TOL, f"max diff {d}"
+
+
 def test_slab_consistent_with_exact_renderer(tiny_cfg):
     """Different quadrature, same scene: images should agree closely
     (PSNR bound), validating the slab semantics aren't drifting."""

@@ -83,14 +83,15 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
                 local = bake_bank_4d(
                     v.bank_size, v.size, v.seed, state.time,
                     octaves=v.octaves, noise_scale=v.noise_scale,
-                    time_scale=v.time_scale, cutoff=v.cutoff, ids=ids)
+                    time_scale=v.time_scale, cutoff=v.cutoff, edge=v.edge,
+                    ids=ids)
                 volumes = jax.lax.all_gather(local, AXIS, axis=0,
                                              tiled=True)
             else:
                 volumes = bake_bank_4d(
                     v.bank_size, v.size, v.seed, state.time,
                     octaves=v.octaves, noise_scale=v.noise_scale,
-                    time_scale=v.time_scale, cutoff=v.cutoff)
+                    time_scale=v.time_scale, cutoff=v.cutoff, edge=v.edge)
         state = state._replace(volumes=volumes)
 
         # Replicate the freshly-stepped particle state for binning/render.

@@ -40,7 +40,8 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig):
         v = cfg.volume
         volumes = bake_bank_4d(v.bank_size, v.size, v.seed, state.time,
                                octaves=v.octaves, noise_scale=v.noise_scale,
-                               time_scale=v.time_scale, cutoff=v.cutoff)
+                               time_scale=v.time_scale, cutoff=v.cutoff,
+                               edge=v.edge)
         state = state._replace(volumes=volumes)
     image, stats = render_frame(state.particles, state.volumes, camera,
                                 light, cfg,

@@ -30,13 +30,30 @@ from volq.oracle.raymarch_cpu import _fade, _ray_aabb
 _DZ_EPS = 1e-6
 
 
-def _bilinear(slab, gx, gy):
-    """slab: [V, V] (x, y axes); gx, gy: [...] grid coords in [0, V-1]."""
+def _q16(x):
+    """Round to bfloat16 and widen back — mirrors the device's bf16
+    weight/slab storage in fast mode (slab_fp32=False). Products of two
+    bf16 values are exact in fp32 on the MXU, so quantizing both sides
+    identically keeps the diff at accumulation-order level."""
+    import ml_dtypes
+    return np.asarray(x, dtype=ml_dtypes.bfloat16).astype(np.float64)
+
+
+def _bilinear(slab, gx, gy, quantize=False):
+    """slab: [V, V] (x, y axes); gx, gy: [...] grid coords in [0, V-1].
+    With ``quantize``, weights and slab values are rounded to bf16 exactly
+    as the device fast mode rounds them."""
     V = slab.shape[0]
     x0 = np.clip(np.floor(gx), 0, V - 2).astype(np.int64)
     y0 = np.clip(np.floor(gy), 0, V - 2).astype(np.int64)
     fx = np.clip(gx - x0, 0.0, 1.0)
     fy = np.clip(gy - y0, 0.0, 1.0)
+    if quantize:
+        slab = _q16(slab)
+        w0x, w1x = _q16(1.0 - fx), _q16(fx)
+        w0y, w1y = _q16(1.0 - fy), _q16(fy)
+        return (w0x * (slab[x0, y0] * w0y + slab[x0, y0 + 1] * w1y)
+                + w1x * (slab[x0 + 1, y0] * w0y + slab[x0 + 1, y0 + 1] * w1y))
     c00 = slab[x0, y0]
     c01 = slab[x0, y0 + 1]
     c10 = slab[x0 + 1, y0]
@@ -46,7 +63,7 @@ def _bilinear(slab, gx, gy):
     return c0 + (c1 - c0) * fx
 
 
-def _sample_plane(vol, zeta, gx, gy):
+def _sample_plane(vol, zeta, gx, gy, quantize=False):
     """z-lerped slab at local plane zeta, bilinearly sampled at (gx, gy).
     vol is z-major [V(z), V(x), V(y)]."""
     V = vol.shape[0]
@@ -54,7 +71,7 @@ def _sample_plane(vol, zeta, gx, gy):
     z0 = int(np.clip(np.floor(gz), 0, V - 2))
     fz = float(np.clip(gz - z0, 0.0, 1.0))
     slab = vol[z0] + (vol[z0 + 1] - vol[z0]) * fz
-    return _bilinear(slab, gx, gy)
+    return _bilinear(slab, gx, gy, quantize=quantize)
 
 
 def render_slab_oracle(particles, volumes, camera, light, cfg, window=None,
@@ -106,6 +123,41 @@ def render_slab_oracle(particles, volumes, camera, light, cfg, window=None,
     dz_safe = np.where(np.abs(dz) < _DZ_EPS,
                        np.where(dz >= 0, _DZ_EPS, -_DZ_EPS), dz)
 
+    quantize = not r.slab_fp32
+    Wn = r.slab_window
+    windowed = 0 < Wn < V
+    if windowed:
+        # Corner rays of every screen tile (window rectangles are per
+        # (tile, particle); see render/slab.py) — computed in fp32 exactly
+        # like the device, so floor() agrees.
+        tiles_x = W // r.tile_w
+        tiles_y = H // r.tile_h
+        txs = np.arange(tiles_x) * r.tile_w
+        tys = np.arange(tiles_y) * r.tile_h
+        cpx = (txs[None, :, None]
+               + np.asarray([0, r.tile_w - 1, 0, r.tile_w - 1])[None, None])
+        cpy = (tys[:, None, None]
+               + np.asarray([0, 0, r.tile_h - 1, r.tile_h - 1])[None, None])
+        cndc_x = ((cpx + 0.5) / W * 2.0 - 1.0).astype(np.float32)
+        cndc_y = (1.0 - (cpy + 0.5) / H * 2.0).astype(np.float32)
+        cox = cndc_x * np.float32(sx)
+        coy = cndc_y * np.float32(sy)
+        f32 = lambda a: np.asarray(a, np.float32)
+        if cfg.camera.projection == "persp":
+            cd = (f32(fwd) + cox[..., None] * f32(right)
+                  + coy[..., None] * f32(up))
+            cd = cd / np.linalg.norm(cd, axis=-1, keepdims=True)
+            co = np.broadcast_to(f32(eye), cd.shape)
+        else:
+            co = (f32(eye) + cox[..., None] * f32(right)
+                  + coy[..., None] * f32(up))
+            cd = np.broadcast_to(f32(fwd), co.shape)
+        cdz = cd[..., 2]
+        cdz = np.where(np.abs(cdz) < _DZ_EPS,
+                       np.where(cdz >= 0, _DZ_EPS, -_DZ_EPS), cdz)
+        pix_ty = (py // r.tile_h)
+        pix_tx = (px // r.tile_w)
+
     for pi in order:
         if not alive[pi]:
             break
@@ -119,6 +171,25 @@ def render_slab_oracle(particles, volumes, camera, light, cfg, window=None,
         scale = r.density_scale * fade
         vol = vols[vol_idx[pi]]
         lvol = None if lvols is None else lvols[vol_idx[pi]]
+
+        if windowed:
+            # per-tile window rectangle from the 8 corner-ray coords
+            # (fp32, mirroring render/slab.py bit for bit)
+            extf = np.float32(ext)
+            gxs, gys = [], []
+            for zeta_c in (np.float32(0.0), np.float32(1.0)):
+                tc = (np.float32(lo[2]) + zeta_c * extf
+                      - co[..., 2]) / cdz
+                gxs.append((co[..., 0] + tc * cd[..., 0]
+                            - np.float32(lo[0])) / extf * np.float32(V - 1))
+                gys.append((co[..., 1] + tc * cd[..., 1]
+                            - np.float32(lo[1])) / extf * np.float32(V - 1))
+            gx_all = np.concatenate(gxs, axis=-1)
+            gy_all = np.concatenate(gys, axis=-1)
+            wx0_t = np.clip(np.floor(gx_all.min(axis=-1)) - 1, 0, V - Wn)
+            wy0_t = np.clip(np.floor(gy_all.min(axis=-1)) - 1, 0, V - Wn)
+            wx0_pix = wx0_t[pix_ty, pix_tx]
+            wy0_pix = wy0_t[pix_ty, pix_tx]
 
         # accumulate this particle's contribution per ray, in the ray's
         # near-to-far plane order (ascending z iff dz >= 0)
@@ -134,15 +205,20 @@ def render_slab_oracle(particles, volumes, camera, light, cfg, window=None,
             gy = (o[..., 1] + ts * d[..., 1] - lo[1]) / ext * (V - 1)
             inb = ((ts > 0) & (gx >= 0) & (gx <= V - 1)
                    & (gy >= 0) & (gy <= V - 1))
-            sigma = _sample_plane(vol, zeta, np.clip(gx, 0, V - 1),
-                                  np.clip(gy, 0, V - 1)) * scale
+            if windowed:
+                sgx = np.clip(gx, wx0_pix, wx0_pix + (Wn - 1))
+                sgy = np.clip(gy, wy0_pix, wy0_pix + (Wn - 1))
+            else:
+                sgx = np.clip(gx, 0, V - 1)
+                sgy = np.clip(gy, 0, V - 1)
+            sigma = _sample_plane(vol, zeta, sgx, sgy,
+                                  quantize=quantize) * scale
             alpha = np.where(inb, 1.0 - np.exp(-sigma * dt), 0.0)
             if lvol is not None:
                 # lvol = unit-scale optical depth (volume/lightbake.py);
                 # scale and world extent are applied here, matching
                 # render/slab.py exactly.
-                tau = _sample_plane(lvol, zeta, np.clip(gx, 0, V - 1),
-                                    np.clip(gy, 0, V - 1))
+                tau = _sample_plane(lvol, zeta, sgx, sgy, quantize=quantize)
                 atten = np.exp(-scale * ext * np.maximum(tau, 0.0))
             else:
                 atten = np.ones_like(alpha)

@@ -30,10 +30,15 @@ _INVALID_KEY = jnp.int32(2**31 - 1)
 
 class PairList(NamedTuple):
     pid: Any        # [P] i32 particle index per kept pair
-    tile: Any       # [P] i32 tile id per kept pair (sorted ascending)
+    tile: Any       # [P] i32 LOCAL tile id per kept pair (sorted ascending)
     valid: Any      # [P] bool
     seg_start: Any  # [T] i32 first pair index of each tile's segment
     count: Any      # [T] i32 number of kept pairs per tile
+    sort_idx: Any   # [P] i32 flat (particle*MT + rank) slot of each kept
+                    #     pair — lets a particle-grouped march buffer
+                    #     [N*MT, ...] be indexed from the sorted pair list
+    cand_tile: Any  # [N, MT] i32 LOCAL tile per candidate slot
+    cand_valid: Any # [N, MT] bool candidate validity
     stats: Any      # dict of scalar diagnostics
 
 
@@ -158,4 +163,7 @@ def bin_particles(particles: Particles, camera: Camera, cfg: SceneConfig,
         "max_pairs_per_tile_seen": count.max(),
     }
     return PairList(pid=pair_pid, tile=pair_tile, valid=kept_valid,
-                    seg_start=seg_start, count=count, stats=stats)
+                    seg_start=seg_start, count=count,
+                    sort_idx=sort_idx.astype(jnp.int32),
+                    cand_tile=jnp.where(cand_valid, local_tile, 0),
+                    cand_valid=cand_valid, stats=stats)

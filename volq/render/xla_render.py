@@ -120,8 +120,11 @@ def _expand(atten):
 
 
 def composite_pairs(pairs: PairList, C_pair, t_pair, cfg: SceneConfig,
-                    n_tiles_local: int | None = None):
+                    n_tiles_local: int | None = None, row_map=None):
     """Depth-ordered per-tile OVER compositing of marched pairs.
+    ``row_map`` (optional, [P_kept] i32) redirects pair q to a row of the
+    marched buffers — used when the march ran particle-grouped and its
+    outputs are laid out [N*MT, ...] (pairs.sort_idx).
     Returns flat tiles [n_tiles_local, tp, 4] fp32 (see assemble_image)."""
     r = cfg.render
     tiles_x = r.width // r.tile_w
@@ -129,14 +132,15 @@ def composite_pairs(pairs: PairList, C_pair, t_pair, cfg: SceneConfig,
     n_tiles = n_tiles_local if n_tiles_local is not None \
         else tiles_x * tiles_y
     tp = r.tile_h * r.tile_w
-    P = C_pair.shape[0]
+    P = pairs.pid.shape[0]
 
     def body(k, carry):
         C, T = carry
         q = jnp.minimum(pairs.seg_start + k, P - 1)
         use = (k < pairs.count) & pairs.valid[q]
-        Ck = jnp.where(use[:, None, None], C_pair[q], 0.0)
-        tk = jnp.where(use[:, None], t_pair[q], 1.0)
+        row = row_map[q] if row_map is not None else q
+        Ck = jnp.where(use[:, None, None], C_pair[row], 0.0)
+        tk = jnp.where(use[:, None], t_pair[row], 1.0)
         C = C + T[..., None] * Ck
         T = T * tk
         return C, T

@@ -21,7 +21,8 @@ class VolumeConfig:
     bank_size: int = 1        # M: number of distinct volumes in the bank
     octaves: int = 4
     noise_scale: float = 4.0
-    cutoff: float = 0.15
+    cutoff: float = 0.3   # noise threshold at the center
+    edge: float = 0.9     # radius^2 coefficient carving the boundary
     animated: bool = False    # 4D time-animated noise, re-baked per frame
     time_scale: float = 0.5
     seed: int = 7
@@ -79,6 +80,18 @@ class RenderConfig:
     light_steps: int = 0       # secondary light-march steps (0 => unshadowed)
     slab_fp32: bool = True     # slab engine: fp32 weights/slabs (False:
                                # bf16 — faster, needs the bf16 oracle mode)
+    slab_pair_chunk: int = 2048  # slab engine: pairs marched per lax.map
+                               # chunk (bounds the [chunk, tp, V] weight
+                               # workspace; 0 => no chunking)
+    slab_window: int = 0       # slab engine: in-plane window width in
+                               # voxels (0 => full V). Part of the sampling
+                               # spec: coords clamp into the per-(tile,
+                               # particle) corner-ray rectangle.
+    slab_grouped: bool = False # slab engine: march the [N, MT] candidate
+                               # grid per particle so each step's slab is
+                               # fetched once per particle (needed for
+                               # per-particle volume banks)
+    slab_particle_chunk: int = 64  # particles per lax.map chunk (grouped)
     density_scale: float = 8.0 # extinction scale applied to sampled density
     fade_in: float = 0.15      # opacity envelope, fractions of lifetime
     fade_out: float = 0.3
@@ -153,7 +166,7 @@ def c1() -> SceneConfig:
     """Single static particle, 32^3 volume, 256x256 ortho camera."""
     return SceneConfig(
         n_particles=1, init="single", seed=1,
-        volume=VolumeConfig(size=32, bank_size=1, noise_scale=3.0),
+        volume=VolumeConfig(size=32, bank_size=1, noise_scale=6.0, octaves=5),
         emitter=EmitterConfig(center=(0.0, 0.0, 0.0), size_min=1.0,
                               size_max=1.0, life_min=1e4, life_max=1e4),
         camera=CameraConfig(eye=(0.0, 0.0, -4.0), projection="ortho",
@@ -169,13 +182,14 @@ def c2() -> SceneConfig:
     depth-sorted front-to-back compositing."""
     return SceneConfig(
         n_particles=64, init="grid", seed=2,
-        volume=VolumeConfig(size=64, bank_size=1, noise_scale=3.5),
+        volume=VolumeConfig(size=64, bank_size=1, noise_scale=5.5, octaves=5),
         emitter=EmitterConfig(center=(0.0, 0.0, 0.0), radius=2.2,
                               size_min=0.45, size_max=0.8,
                               life_min=1e4, life_max=1e4,
                               albedo_base=(1.0, 0.9, 0.8), albedo_var=0.35),
         camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
-        render=RenderConfig(width=512, height=512, steps=32,
+        render=RenderConfig(width=512, height=512, steps=32, engine="slab",
+                            slab_fp32=False,
                             max_tiles_per_particle=128, max_pairs=4096,
                             max_pairs_per_tile=48, density_scale=9.0),
     )
@@ -186,8 +200,8 @@ def c3() -> SceneConfig:
     1080p render loop. The headline benchmark config."""
     return SceneConfig(
         n_particles=1024, init="random", seed=3,
-        volume=VolumeConfig(size=128, bank_size=1024, octaves=4,
-                            noise_scale=3.0),
+        volume=VolumeConfig(size=128, bank_size=1024, octaves=5,
+                            noise_scale=5.0),
         emitter=EmitterConfig(rate=256.0, center=(0.0, 0.0, 0.0), radius=4.5,
                               vel_base=(0.0, 0.6, 0.0), vel_spread=0.35,
                               life_min=3.0, life_max=6.0,
@@ -198,8 +212,11 @@ def c3() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
-                            max_tiles_per_particle=64, max_pairs=24576,
-                            max_pairs_per_tile=64, density_scale=10.0),
+                            engine="slab", slab_fp32=False, slab_window=64,
+                            slab_grouped=True, slab_particle_chunk=64,
+                            tile_h=8, tile_w=32,
+                            max_tiles_per_particle=128, max_pairs=81920,
+                            max_pairs_per_tile=96, density_scale=10.0),
     )
 
 
@@ -207,7 +224,7 @@ def c4() -> SceneConfig:
     """4k particles + directional light-march self-shadowing at 1080p."""
     return SceneConfig(
         n_particles=4096, init="random", seed=4,
-        volume=VolumeConfig(size=64, bank_size=64, noise_scale=3.0),
+        volume=VolumeConfig(size=64, bank_size=64, noise_scale=5.0),
         emitter=EmitterConfig(rate=1024.0, center=(0.0, 0.0, 0.0), radius=5.0,
                               vel_base=(0.0, 0.5, 0.0), vel_spread=0.3,
                               life_min=3.0, life_max=6.0,
@@ -218,8 +235,10 @@ def c4() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
-                            max_tiles_per_particle=48, max_pairs=32768,
-                            max_pairs_per_tile=64, density_scale=10.0),
+                            engine="slab", slab_fp32=False, slab_window=48,
+                            tile_h=8, tile_w=32,
+                            max_tiles_per_particle=48, max_pairs=98304,
+                            max_pairs_per_tile=96, density_scale=10.0),
     )
 
 
@@ -229,7 +248,7 @@ def c5() -> SceneConfig:
     return SceneConfig(
         n_particles=16384, init="random", seed=5,
         volume=VolumeConfig(size=64, bank_size=16, animated=True, octaves=3,
-                            noise_scale=3.0),
+                            noise_scale=5.0),
         emitter=EmitterConfig(rate=4096.0, center=(0.0, 0.0, 0.0), radius=6.5,
                               vel_base=(0.0, 0.45, 0.0), vel_spread=0.3,
                               life_min=3.0, life_max=6.0,
@@ -240,8 +259,10 @@ def c5() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 4.0, -19.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
-                            max_tiles_per_particle=32, max_pairs=65536,
-                            max_pairs_per_tile=64, density_scale=10.0),
+                            engine="slab", slab_fp32=False, slab_window=48,
+                            tile_h=8, tile_w=32,
+                            max_tiles_per_particle=32, max_pairs=131072,
+                            max_pairs_per_tile=96, density_scale=10.0),
     )
 
 

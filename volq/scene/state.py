@@ -36,9 +36,11 @@ def bake_volumes(cfg: SceneConfig, t=0.0):
     if v.animated:
         return bake_bank_4d(v.bank_size, v.size, v.seed, t,
                             octaves=v.octaves, noise_scale=v.noise_scale,
-                            time_scale=v.time_scale, cutoff=v.cutoff)
+                            time_scale=v.time_scale, cutoff=v.cutoff,
+                            edge=v.edge)
     return bake_bank(v.bank_size, v.size, v.seed, octaves=v.octaves,
-                     noise_scale=v.noise_scale, cutoff=v.cutoff)
+                     noise_scale=v.noise_scale, cutoff=v.cutoff,
+                     edge=v.edge)
 
 
 def _init_particles(cfg: SceneConfig, key) -> Particles:

@@ -27,12 +27,10 @@ def _lattice(size: int):
     return jnp.stack([ux, uy, uz], axis=-1)
 
 
-def _falloff(u):
-    """Smooth radial falloff: 1 at the center, 0 at the inscribed sphere."""
+def _radius2(u):
+    """Squared radius from the volume center, 1 at the inscribed sphere."""
     d = (u - 0.5) * 2.0
-    r2 = jnp.sum(d * d, axis=-1)
-    f = jnp.maximum(0.0, 1.0 - r2)
-    return f * f
+    return jnp.sum(d * d, axis=-1)
 
 
 def _volume_offsets(ids, seed: int):
@@ -46,15 +44,19 @@ def _volume_offsets(ids, seed: int):
     return off * 64.0  # decorrelate entries by several noise periods
 
 
-def _shape_density(n, u, cutoff: float):
-    """Map fBm in [-1,1] to a puffy density in [0,1]."""
-    d = jnp.maximum(0.0, 0.5 + 0.5 * n - cutoff) / (1.0 - cutoff)
-    return jnp.minimum(d * _falloff(u), 1.0)
+def _shape_density(n, u, cutoff: float, edge: float = 0.9):
+    """Map fBm in [-1,1] to a carved puffy density in [0,1]: the radius
+    raises the noise threshold, so the boundary is noise-carved (wispy)
+    rather than a smooth sphere — and still reaches zero before the AABB
+    faces (threshold >= cutoff + edge at the inscribed sphere)."""
+    d = (jnp.maximum(0.0, 0.5 + 0.5 * n - (cutoff + edge * _radius2(u)))
+         / max(1.0 - cutoff, 1e-3))
+    return jnp.minimum(d, 1.0)
 
 
 def bake_bank(bank_size: int, size: int, seed: int, *, octaves: int = 4,
-              noise_scale: float = 4.0, cutoff: float = 0.15,
-              dtype=jnp.bfloat16, ids=None):
+              noise_scale: float = 4.0, cutoff: float = 0.3,
+              edge: float = 0.9, dtype=jnp.bfloat16, ids=None):
     """Bake a static volume bank [M, V, V, V].  ``ids`` (default
     arange(bank_size)) selects which global bank entries to bake, so a mesh
     can shard the bake over entries and all_gather.
@@ -74,14 +76,15 @@ def bake_bank(bank_size: int, size: int, seed: int, *, octaves: int = 4,
         off = _volume_offsets(entry_id[None], seed)[0]
         p = (u - 0.5) * noise_scale + off
         n = fbm3(p, seed, octaves=octaves)
-        return _shape_density(n, u, cutoff).astype(dtype)
+        return _shape_density(n, u, cutoff, edge).astype(dtype)
 
     return jax.lax.map(one, ids)
 
 
 def bake_bank_4d(bank_size: int, size: int, seed: int, t, *, octaves: int = 3,
                  noise_scale: float = 4.0, time_scale: float = 0.5,
-                 cutoff: float = 0.15, dtype=jnp.bfloat16, ids=None):
+                 cutoff: float = 0.3, edge: float = 0.9,
+                 dtype=jnp.bfloat16, ids=None):
     """Bake a time-animated bank from 4D noise at simulation time ``t``."""
     import jax
 
@@ -101,6 +104,6 @@ def bake_bank_4d(bank_size: int, size: int, seed: int, t, *, octaves: int = 3,
             xyz.shape[:-1])
         p4 = jnp.concatenate([xyz, w[..., None]], axis=-1)
         n = fbm4(p4, seed, octaves=octaves)
-        return _shape_density(n, u, cutoff).astype(dtype)
+        return _shape_density(n, u, cutoff, edge).astype(dtype)
 
     return jax.lax.map(one, ids)
