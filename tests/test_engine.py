@@ -64,6 +64,23 @@ def test_png_writer(tmp_path):
     assert len(decoded) == h * (1 + w * 4)
 
 
+def test_replay_frame_is_bit_exact(tiny_cfg):
+    from volq.engine.replay import replay_frame
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        emitter=dataclasses.replace(tiny_cfg.emitter, rate=25.0,
+                                    life_min=0.3, life_max=0.6))
+    state, camera, light = setup(cfg)
+    imgs = []
+    for _ in range(4):
+        state, img, _ = frame(state, camera, light, cfg)
+        imgs.append(np.asarray(img))
+    _, img_r, _ = replay_frame(cfg, 3)
+    assert np.array_equal(np.asarray(img_r), imgs[3])
+    _, img_r0, _ = replay_frame(cfg, 0)
+    assert np.array_equal(np.asarray(img_r0), imgs[0])
+
+
 def test_config_json_roundtrip():
     for preset in (c1, c2, c3, c4, c5):
         cfg = preset()

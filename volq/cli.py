@@ -54,6 +54,8 @@ def main(argv=None):
     ap.add_argument("--resume", help="load state from this checkpoint")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard over this many devices (0 = single)")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="capture a jax.profiler trace of the frame loop")
     ap.add_argument("--dump-config", action="store_true")
     args = ap.parse_args(argv)
 
@@ -107,6 +109,11 @@ def main(argv=None):
             state, camera, light = loop.setup(cfg)
         step = lambda st: loop.frame(st, camera, light, cfg)
 
+    profiler_cm = None
+    if args.profile:
+        import jax.profiler
+        profiler_cm = jax.profiler.trace(args.profile)
+        profiler_cm.__enter__()
     t_start = time.perf_counter()
     for i in range(args.frames):
         state, image, stats = step(state)
@@ -123,6 +130,10 @@ def main(argv=None):
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.2f}s "
           f"({args.frames / dt:.1f} fps incl. IO)", file=sys.stderr)
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     if args.checkpoint:
         checkpoint.save_state(args.checkpoint, state, cfg)

@@ -236,9 +236,10 @@ def c4() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
                             engine="slab", slab_fp32=False, slab_window=48,
+                            slab_grouped=True, slab_particle_chunk=128,
                             tile_h=8, tile_w=32,
-                            max_tiles_per_particle=48, max_pairs=98304,
-                            max_pairs_per_tile=96, density_scale=10.0),
+                            max_tiles_per_particle=64, max_pairs=163840,
+                            max_pairs_per_tile=128, density_scale=10.0),
     )
 
 
@@ -260,8 +261,9 @@ def c5() -> SceneConfig:
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
                             engine="slab", slab_fp32=False, slab_window=48,
+                            slab_grouped=True, slab_particle_chunk=256,
                             tile_h=8, tile_w=32,
-                            max_tiles_per_particle=32, max_pairs=131072,
+                            max_tiles_per_particle=32, max_pairs=262144,
                             max_pairs_per_tile=96, density_scale=10.0),
     )
 
