@@ -220,3 +220,25 @@ def test_lightbake_matches_bruteforce_march():
         got = tau[0, z, x, y]
         assert abs(got - want) < 0.3 * max(want, 0.05), \
             f"voxel ({x},{y},{z}): sweep {got:.4f} vs brute {want:.4f}"
+
+
+def test_near_fade_matches_oracle(tiny_cfg):
+    """Camera-proximity fade: partially-faded and culled particles agree
+    with the oracle; a fully-near particle contributes nothing."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_cfg, render=dataclasses.replace(
+            tiny_cfg.render, engine="slab", near_fade_start=5.2,
+            near_fade_end=4.2))
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.01
+    assert d < TOL, f"max diff {d}"
+    # exact engine too
+    cfg_e = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, engine="exact"))
+    from volq.oracle.raymarch_cpu import render_oracle
+    img_e, _ = render_only(state, camera, light, cfg_e)
+    ref_e = render_oracle(state.particles, state.volumes, camera, light,
+                          cfg_e)
+    assert np.abs(np.asarray(img_e, np.float64) - ref_e).max() < TOL

@@ -1,10 +1,38 @@
-"""Frame output: npy and PNG (stdlib-only encoder, no external deps)."""
+"""Frame output: npy and PNG.
+
+Two PNG encoders: a native C++ one (volq/native/fastpng.cc, built by
+volq/native/build.sh, loaded via ctypes) for interactive-rate frame
+dumping, and a portable stdlib fallback. `save_png` picks automatically.
+"""
 from __future__ import annotations
 
+import ctypes
+import os
 import struct
 import zlib
 
 import numpy as np
+
+_fastpng = None
+
+
+def _load_fastpng():
+    global _fastpng
+    if _fastpng is not None:
+        return _fastpng
+    path = os.path.join(os.path.dirname(__file__), "..", "native",
+                        "libfastpng.so")
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+        lib.fastpng_encode.restype = ctypes.c_long
+        lib.fastpng_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+        lib.fastpng_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _fastpng = lib
+    except OSError:
+        _fastpng = False  # not built; use the Python fallback
+    return _fastpng
 
 
 def tonemap(rgba, gamma: float = 2.2):
@@ -16,9 +44,23 @@ def tonemap(rgba, gamma: float = 2.2):
 
 
 def save_png(path: str, rgba_u8: np.ndarray):
-    """Minimal RGBA8 PNG writer (zlib + stdlib struct)."""
+    """RGBA8 PNG writer: native fast path when built, stdlib fallback."""
     h, w, c = rgba_u8.shape
     assert c == 4 and rgba_u8.dtype == np.uint8
+
+    lib = _load_fastpng()
+    if lib:
+        data = np.ascontiguousarray(rgba_u8).tobytes()
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lib.fastpng_encode(data, w, h, ctypes.byref(out))
+        if n > 0:
+            try:
+                with open(path, "wb") as f:
+                    f.write(ctypes.string_at(out, n))
+                return
+            finally:
+                lib.fastpng_free(out)
+        # encode failure: fall through to the Python writer
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data

@@ -146,6 +146,10 @@ def render_oracle(particles, volumes, camera, light, cfg, window=None):
             continue
         dt = seg / r.steps
         fade = _fade(age[pi] / lifetime[pi], r.fade_in, r.fade_out)
+        if r.near_fade_start > 0.0:
+            # camera-proximity fade, mirroring render/*'s _near_fade
+            span = max(r.near_fade_start - r.near_fade_end, 1e-6)
+            fade = fade * np.clip((z[pi] - r.near_fade_end) / span, 0.0, 1.0)
         scale = r.density_scale * fade
         vol = vols[vol_idx[pi]]
 

@@ -168,6 +168,10 @@ def render_slab_oracle(particles, volumes, camera, light, cfg, window=None,
         seg = np.maximum(t1 - t0, 0.0)
         dt = np.minimum(ext / S / np.abs(dz_safe), seg)
         fade = _fade(age[pi] / lifetime[pi], r.fade_in, r.fade_out)
+        if r.near_fade_start > 0.0:
+            # camera-proximity fade, mirroring render/*'s _near_fade
+            span = max(r.near_fade_start - r.near_fade_end, 1e-6)
+            fade = fade * np.clip((z[pi] - r.near_fade_end) / span, 0.0, 1.0)
         scale = r.density_scale * fade
         vol = vols[vol_idx[pi]]
         lvol = None if lvols is None else lvols[vol_idx[pi]]

@@ -82,6 +82,11 @@ def _screen_rect(particles: Particles, camera: Camera, cfg: SceneConfig):
     alive = particles.age < particles.lifetime
     on_screen = (x_max >= 0) & (x_min <= W) & (y_max >= 0) & (y_min <= H)
     valid = alive & in_front & on_screen
+    if r.near_fade_start > 0.0:
+        # camera-proximity fade: fully transparent particles render
+        # nothing — cull them before they explode the tile-span caps
+        zc = (particles.pos - camera.eye) @ camera.fwd
+        valid = valid & (zc > r.near_fade_end)
     return (x_min, x_max, y_min, y_max), valid
 
 

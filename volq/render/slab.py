@@ -46,7 +46,8 @@ from volq.core.aabb import ray_aabb
 from volq.core.camera import pixel_rays
 from volq.core.types import Camera, Light, Particles
 from volq.render.binning import bin_particles, PairList
-from volq.render.xla_render import composite_pairs, assemble_image, _fade
+from volq.render.xla_render import (composite_pairs, assemble_image, _fade,
+                                    _near_fade)
 from volq.scene.config import SceneConfig
 
 ONEHOT_MAX_BANK = 64
@@ -155,8 +156,9 @@ def _march_chunk_slab(pairs, particles: Particles, volumes,
     vol_rows = particles.vol_idx[pid]              # [P]
     tau_life = particles.age[pid] / jnp.maximum(particles.lifetime[pid],
                                                 1e-6)
-    scale = (r.density_scale
-             * _fade(tau_life, r.fade_in, r.fade_out))[:, None]  # [P,1]
+    zview = (pos - camera.eye) @ camera.fwd
+    scale = (r.density_scale * _fade(tau_life, r.fade_in, r.fade_out)
+             * _near_fade(zview, r))[:, None]  # [P,1]
 
     ti = jnp.arange(tp, dtype=jnp.int32)
     px = (gtile % tiles_x)[:, None] * r.tile_w + (ti % r.tile_w)[None, :]
@@ -223,12 +225,13 @@ def _march_chunk_slab(pairs, particles: Particles, volumes,
         wx0f = wx0.astype(jnp.float32)[:, None]
         wy0f = wy0.astype(jnp.float32)[:, None]
 
-    def sample_plane(bank, zeta):
-        """Density of every (pair, ray) at local plane z = zeta.
-        Returns (value [P,tp] f32, inb [P,tp] bool, pref [P,tp] t-coord)."""
+    def sample_plane(banks, zeta):
+        """Sample every bank in ``banks`` at local plane z = zeta with ONE
+        shared set of geometry + weight tensors (the weight builds dominate
+        memory/VPU cost; lighting must not double them).
+        Returns (list of values [P,tp] f32, inb, ts)."""
         z0 = jnp.clip(jnp.floor(zeta * gscale), 0, V - 2).astype(jnp.int32)
         fz = jnp.clip(zeta * gscale - z0.astype(jnp.float32), 0.0, 1.0)
-        slab = _slab_at(bank, vol_rows, z0, fz, wdt)  # [V,V] or [P,V,V]
 
         zw = lo_z + zeta * ext                      # [P,1] world z of plane
         ts = (zw - oz) / dz_safe                    # [P,tp]
@@ -237,40 +240,50 @@ def _march_chunk_slab(pairs, particles: Particles, volumes,
         inb = ((ts > 0) & (gx >= 0) & (gx <= gscale)
                & (gy >= 0) & (gy <= gscale))
         if windowed:
-            eqx = "pwv,vu->pwu" if slab.ndim == 2 else "pwv,pvu->pwu"
-            t_ = jnp.einsum(eqx, Sx, slab, preferred_element_type=wdt)
-            win = jnp.einsum("pwu,pxu->pwx", t_, Sy,
-                             preferred_element_type=wdt)    # [P,Wn,Wn]
             gxw = jnp.clip(gx, wx0f, wx0f + (Wn - 1)) - wx0f
             gyw = jnp.clip(gy, wy0f, wy0f + (Wn - 1)) - wy0f
             Wx = _hat_weights(gxw, Wn, wdt)                 # [P,tp,Wn]
             Wy = _hat_weights(gyw, Wn, wdt)
-            t1_ = jnp.einsum("ptj,pjk->ptk", Wx, win,
-                             preferred_element_type=jnp.float32)
         else:
             Wx = _hat_weights(jnp.clip(gx, 0, gscale), V, wdt)  # [P,tp,V]
             Wy = _hat_weights(jnp.clip(gy, 0, gscale), V, wdt)
-            eq = "ptj,jk->ptk" if slab.ndim == 2 else "ptj,pjk->ptk"
-            t1_ = jnp.einsum(eq, Wx, slab,
-                             preferred_element_type=jnp.float32)
-        val = jnp.sum(t1_ * Wy.astype(jnp.float32), axis=-1)
-        return val, inb, ts
+        Wyf = Wy.astype(jnp.float32)
+
+        vals = []
+        for bank in banks:
+            slab = _slab_at(bank, vol_rows, z0, fz, wdt)
+            if windowed:
+                eqx = "pwv,vu->pwu" if slab.ndim == 2 else "pwv,pvu->pwu"
+                t_ = jnp.einsum(eqx, Sx, slab, preferred_element_type=wdt)
+                win = jnp.einsum("pwu,pxu->pwx", t_, Sy,
+                                 preferred_element_type=wdt)    # [P,Wn,Wn]
+                t1_ = jnp.einsum("ptj,pjk->ptk", Wx, win,
+                                 preferred_element_type=jnp.float32)
+            else:
+                eq = "ptj,jk->ptk" if slab.ndim == 2 else "ptj,pjk->ptk"
+                t1_ = jnp.einsum(eq, Wx, slab,
+                                 preferred_element_type=jnp.float32)
+            vals.append(jnp.sum(t1_ * Wyf, axis=-1))
+        return vals, inb, ts
 
     l_col = jnp.asarray(light.color, jnp.float32)
     l_amb = jnp.asarray(light.ambient, jnp.float32)
+    banks = [volumes]
+    if light_volumes is not None:
+        banks.append(light_volumes)
 
     def step(s, carry):
         Cf, Cb, T = carry
         zeta = (s.astype(jnp.float32) + 0.5) / S
-        sigma, inb, _ = sample_plane(volumes, zeta)
-        sigma = sigma * scale
+        vals, inb, _ = sample_plane(banks, zeta)
+        sigma = vals[0] * scale
         alpha = jnp.where(inb & pvalid, 1.0 - jnp.exp(-sigma * dt), 0.0)
         if light_volumes is not None:
-            # light_volumes stores unit-scale optical depth tau_raw; depth
+            # light volumes store unit-scale optical depth tau_raw; depth
             # is linear in extinction scale and world extent, so both are
             # applied here per particle (volume/lightbake.py).
-            tau, _, _ = sample_plane(light_volumes, zeta)
-            atten = jnp.exp(-scale * ext * jnp.maximum(tau, 0.0))[..., None]
+            atten = jnp.exp(-scale * ext
+                            * jnp.maximum(vals[1], 0.0))[..., None]
         else:
             atten = 1.0
         c = albedo[:, None, :] * (l_col * atten + l_amb)
@@ -331,8 +344,9 @@ def _march_grouped_slab(pairs: PairList, particles: Particles, volumes,
         Cp = cand_tile.shape[0]
         half = half[:, None]                        # [Cp,1]
         tau_life = age / jnp.maximum(lifetime, 1e-6)
-        scale = (r.density_scale
-                 * _fade(tau_life, r.fade_in, r.fade_out))[:, None, None]
+        zview = (pos - camera.eye) @ camera.fwd
+        scale = (r.density_scale * _fade(tau_life, r.fade_in, r.fade_out)
+                 * _near_fade(zview, r))[:, None, None]
 
         gtile = cand_tile + jnp.asarray(tile_start, jnp.int32)  # [Cp,MT]
         ti = jnp.arange(tp, dtype=jnp.int32)
@@ -416,11 +430,14 @@ def _march_grouped_slab(pairs: PairList, particles: Particles, volumes,
             sl1 = brows[base + 1].astype(jnp.float32)
             return (sl0 + (sl1 - sl0) * fz).astype(wdt).reshape(Cp, V, V)
 
-        def sample_plane(bank, brows, zeta):
+        def sample_plane(banks, zeta):
+            """Sample every (bank, brows) in ``banks`` at plane zeta with
+            ONE shared set of geometry + weight tensors (the weight builds
+            dominate memory/VPU cost; lighting must not double them).
+            Returns (list of values [Cp,MT,tp], inb, ts)."""
             z0 = jnp.clip(jnp.floor(zeta * gscale), 0, V - 2).astype(
                 jnp.int32)
             fz = jnp.clip(zeta * gscale - z0.astype(jnp.float32), 0.0, 1.0)
-            slab = fetch_slab(bank, brows, z0, fz)
 
             zw = lo_z + zeta * ext3
             ts = (zw - oz) / dz_safe                     # [Cp,MT,tp]
@@ -429,38 +446,49 @@ def _march_grouped_slab(pairs: PairList, particles: Particles, volumes,
             inb = ((ts > 0) & (gx >= 0) & (gx <= gscale)
                    & (gy >= 0) & (gy <= gscale))
             if windowed:
-                eqx = ("nmwv,vu->nmwu" if slab.ndim == 2
-                       else "nmwv,nvu->nmwu")
-                t_ = jnp.einsum(eqx, Sx, slab, preferred_element_type=wdt)
-                win = jnp.einsum("nmwu,nmxu->nmwx", t_, Sy,
-                                 preferred_element_type=wdt)
                 gxw = jnp.clip(gx, wx0f, wx0f + (Wn - 1)) - wx0f
                 gyw = jnp.clip(gy, wy0f, wy0f + (Wn - 1)) - wy0f
                 Wx = _hat_weights(gxw, Wn, wdt)          # [Cp,MT,tp,Wn]
                 Wy = _hat_weights(gyw, Wn, wdt)
-                t1_ = jnp.einsum("nmtj,nmjk->nmtk", Wx, win,
-                                 preferred_element_type=jnp.float32)
             else:
                 Wx = _hat_weights(jnp.clip(gx, 0, gscale), V, wdt)
                 Wy = _hat_weights(jnp.clip(gy, 0, gscale), V, wdt)
-                eq = ("nmtj,jk->nmtk" if slab.ndim == 2
-                      else "nmtj,njk->nmtk")
-                t1_ = jnp.einsum(eq, Wx, slab,
-                                 preferred_element_type=jnp.float32)
-            val = jnp.sum(t1_ * Wy.astype(jnp.float32), axis=-1)
-            return val, inb, ts
+            Wyf = Wy.astype(jnp.float32)
+
+            vals = []
+            for bank, brows in banks:
+                slab = fetch_slab(bank, brows, z0, fz)
+                if windowed:
+                    eqx = ("nmwv,vu->nmwu" if slab.ndim == 2
+                           else "nmwv,nvu->nmwu")
+                    t_ = jnp.einsum(eqx, Sx, slab,
+                                    preferred_element_type=wdt)
+                    win = jnp.einsum("nmwu,nmxu->nmwx", t_, Sy,
+                                     preferred_element_type=wdt)
+                    t1_ = jnp.einsum("nmtj,nmjk->nmtk", Wx, win,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    eq = ("nmtj,jk->nmtk" if slab.ndim == 2
+                          else "nmtj,njk->nmtk")
+                    t1_ = jnp.einsum(eq, Wx, slab,
+                                     preferred_element_type=jnp.float32)
+                vals.append(jnp.sum(t1_ * Wyf, axis=-1))
+            return vals, inb, ts
+
+        banks = [(volumes, rows2d)]
+        if light_volumes is not None:
+            banks.append((light_volumes, lrows2d))
 
         def step(s, carry):
             Cf, Cb, T = carry
             zeta = (s.astype(jnp.float32) + 0.5) / S
-            sigma, inb, _ = sample_plane(volumes, rows2d, zeta)
-            sigma = sigma * scale
+            vals, inb, _ = sample_plane(banks, zeta)
+            sigma = vals[0] * scale
             alpha = jnp.where(inb & pvalid,
                               1.0 - jnp.exp(-sigma * dt), 0.0)
             if light_volumes is not None:
-                tau, _, _ = sample_plane(light_volumes, lrows2d, zeta)
                 atten = jnp.exp(-scale * ext3
-                                * jnp.maximum(tau, 0.0))[..., None]
+                                * jnp.maximum(vals[1], 0.0))[..., None]
             else:
                 atten = 1.0
             c = albedo[:, None, None, :] * (l_col * atten + l_amb)

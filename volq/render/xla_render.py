@@ -36,6 +36,16 @@ def _fade(tau, fade_in, fade_out):
     return jnp.clip(jnp.minimum(tau / fi, (1.0 - tau) / fo), 0.0, 1.0)
 
 
+def _near_fade(view_z, r):
+    """Camera-proximity fade (the reference-class 'camera near fade'):
+    opacity ramps 0 -> 1 between view depths near_fade_end and
+    near_fade_start; disabled when near_fade_start <= 0."""
+    if r.near_fade_start <= 0.0:
+        return 1.0
+    span = max(r.near_fade_start - r.near_fade_end, 1e-6)
+    return jnp.clip((view_z - r.near_fade_end) / span, 0.0, 1.0)
+
+
 def _march_pairs(pairs: PairList, particles: Particles, bank2d,
                  vol_size: int, camera: Camera, light: Light,
                  cfg: SceneConfig, tile_start=0):
@@ -53,8 +63,9 @@ def _march_pairs(pairs: PairList, particles: Particles, bank2d,
     albedo = particles.albedo[pid]                 # [P,3]
     vol = particles.vol_idx[pid]                   # [P] bank row
     tau_life = particles.age[pid] / jnp.maximum(particles.lifetime[pid], 1e-6)
-    scale = (r.density_scale
-             * _fade(tau_life, r.fade_in, r.fade_out))[:, None]  # [P,1]
+    zview = (pos - camera.eye) @ camera.fwd
+    scale = (r.density_scale * _fade(tau_life, r.fade_in, r.fade_out)
+             * _near_fade(zview, r))[:, None]  # [P,1]
 
     # Tile pixel rays: [P, tp]. Invalid/padded pairs clamp into range.
     ti = jnp.arange(tp, dtype=jnp.int32)

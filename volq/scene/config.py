@@ -95,6 +95,10 @@ class RenderConfig:
     density_scale: float = 8.0 # extinction scale applied to sampled density
     fade_in: float = 0.15      # opacity envelope, fractions of lifetime
     fade_out: float = 0.3
+    near_fade_start: float = 0.0  # camera-proximity fade: full opacity
+                               # beyond this view depth; 0 disables
+    near_fade_end: float = 0.0    # fully transparent at/inside this depth
+                               # (culled from binning)
     tile_h: int = 8            # screen tile shape; (8, 128) is VPU-native
     tile_w: int = 128
     max_tiles_per_particle: int = 64   # MT: candidate pairs per particle
@@ -212,10 +216,11 @@ def c3() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
-                            engine="slab", slab_fp32=False, slab_window=64,
+                            engine="slab", slab_fp32=False,
                             slab_grouped=True, slab_particle_chunk=64,
-                            tile_h=8, tile_w=32,
-                            max_tiles_per_particle=128, max_pairs=81920,
+                            tile_h=8, tile_w=32, near_fade_start=6.0,
+                            near_fade_end=4.0,
+                            max_tiles_per_particle=96, max_pairs=73728,
                             max_pairs_per_tile=96, density_scale=10.0),
     )
 
@@ -235,9 +240,10 @@ def c4() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
-                            engine="slab", slab_fp32=False, slab_window=48,
+                            engine="slab", slab_fp32=False,
                             slab_grouped=True, slab_particle_chunk=128,
-                            tile_h=8, tile_w=32,
+                            tile_h=8, tile_w=32, near_fade_start=7.0,
+                            near_fade_end=5.0,
                             max_tiles_per_particle=64, max_pairs=163840,
                             max_pairs_per_tile=128, density_scale=10.0),
     )
@@ -260,9 +266,10 @@ def c5() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 4.0, -19.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
-                            engine="slab", slab_fp32=False, slab_window=48,
+                            engine="slab", slab_fp32=False,
                             slab_grouped=True, slab_particle_chunk=256,
-                            tile_h=8, tile_w=32,
+                            tile_h=8, tile_w=32, near_fade_start=9.0,
+                            near_fade_end=7.0,
                             max_tiles_per_particle=32, max_pairs=262144,
                             max_pairs_per_tile=96, density_scale=10.0),
     )
