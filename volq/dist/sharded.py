@@ -18,8 +18,6 @@ in the enclosing jit (a layout shuffle XLA handles).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -268,22 +268,33 @@ def _march_chunk_slab(pairs, particles: Particles, volumes,
 
     l_col = jnp.asarray(light.color, jnp.float32)
     l_amb = jnp.asarray(light.ambient, jnp.float32)
-    banks = [volumes]
+
+    # Two passes (one contraction per loop body) — see the grouped march
+    # for why fusing both banks into one step body is pathological.
+    P_ = pid.shape[0]
     if light_volumes is not None:
-        banks.append(light_volumes)
+        def light_step(s, buf):
+            zeta = (s.astype(jnp.float32) + 0.5) / S
+            vals, _, _ = sample_plane([light_volumes], zeta)
+            return buf.at[s].set(vals[0])
+
+        taus = jax.lax.fori_loop(0, S, light_step,
+                                 jnp.zeros((S, P_, tp), jnp.float32))
+    else:
+        taus = None
 
     def step(s, carry):
         Cf, Cb, T = carry
         zeta = (s.astype(jnp.float32) + 0.5) / S
-        vals, inb, _ = sample_plane(banks, zeta)
+        vals, inb, _ = sample_plane([volumes], zeta)
         sigma = vals[0] * scale
         alpha = jnp.where(inb & pvalid, 1.0 - jnp.exp(-sigma * dt), 0.0)
-        if light_volumes is not None:
+        if taus is not None:
             # light volumes store unit-scale optical depth tau_raw; depth
             # is linear in extinction scale and world extent, so both are
             # applied here per particle (volume/lightbake.py).
             atten = jnp.exp(-scale * ext
-                            * jnp.maximum(vals[1], 0.0))[..., None]
+                            * jnp.maximum(taus[s], 0.0))[..., None]
         else:
             atten = 1.0
         c = albedo[:, None, :] * (l_col * atten + l_amb)
@@ -475,20 +486,33 @@ def _march_grouped_slab(pairs: PairList, particles: Particles, volumes,
                 vals.append(jnp.sum(t1_ * Wyf, axis=-1))
             return vals, inb, ts
 
-        banks = [(volumes, rows2d)]
+        # Two passes, ONE contraction per step each: putting both the
+        # density and light contractions in one loop body breaks XLA's
+        # matmul/reduction fusion (the [Cp,MT,tp,V] intermediate spills;
+        # measured 15x slowdown). The light pass stores per-step optical
+        # depth; the march pass consumes it.
         if light_volumes is not None:
-            banks.append((light_volumes, lrows2d))
+            def light_step(s, buf):
+                zeta = (s.astype(jnp.float32) + 0.5) / S
+                vals, _, _ = sample_plane([(light_volumes, lrows2d)], zeta)
+                return buf.at[s].set(vals[0])
+
+            taus = jax.lax.fori_loop(
+                0, S, light_step,
+                jnp.zeros((S, Cp, MT, tp), jnp.float32))
+        else:
+            taus = None
 
         def step(s, carry):
             Cf, Cb, T = carry
             zeta = (s.astype(jnp.float32) + 0.5) / S
-            vals, inb, _ = sample_plane(banks, zeta)
+            vals, inb, _ = sample_plane([(volumes, rows2d)], zeta)
             sigma = vals[0] * scale
             alpha = jnp.where(inb & pvalid,
                               1.0 - jnp.exp(-sigma * dt), 0.0)
-            if light_volumes is not None:
+            if taus is not None:
                 atten = jnp.exp(-scale * ext3
-                                * jnp.maximum(vals[1], 0.0))[..., None]
+                                * jnp.maximum(taus[s], 0.0))[..., None]
             else:
                 atten = 1.0
             c = albedo[:, None, None, :] * (l_col * atten + l_amb)

@@ -209,7 +209,7 @@ def c3() -> SceneConfig:
         emitter=EmitterConfig(rate=256.0, center=(0.0, 0.0, 0.0), radius=4.5,
                               vel_base=(0.0, 0.6, 0.0), vel_spread=0.35,
                               life_min=3.0, life_max=6.0,
-                              size_min=0.3, size_max=0.55,
+                              size_min=0.26, size_max=0.42,
                               albedo_base=(0.95, 0.93, 0.9), albedo_var=0.3),
         forces=ForcesConfig(gravity=(0.0, -0.25, 0.0), drag=0.35,
                             curl_strength=1.4, curl_freq=0.35),
@@ -218,8 +218,8 @@ def c3() -> SceneConfig:
         render=RenderConfig(width=1920, height=1080, steps=24,
                             engine="slab", slab_fp32=False,
                             slab_grouped=True, slab_particle_chunk=64,
-                            tile_h=8, tile_w=32, near_fade_start=6.0,
-                            near_fade_end=4.0,
+                            tile_h=8, tile_w=32, near_fade_start=8.5,
+                            near_fade_end=6.0,
                             max_tiles_per_particle=96, max_pairs=73728,
                             max_pairs_per_tile=96, density_scale=10.0),
     )
@@ -233,7 +233,7 @@ def c4() -> SceneConfig:
         emitter=EmitterConfig(rate=1024.0, center=(0.0, 0.0, 0.0), radius=5.0,
                               vel_base=(0.0, 0.5, 0.0), vel_spread=0.3,
                               life_min=3.0, life_max=6.0,
-                              size_min=0.22, size_max=0.4,
+                              size_min=0.2, size_max=0.36,
                               albedo_base=(0.95, 0.93, 0.9), albedo_var=0.25),
         forces=ForcesConfig(gravity=(0.0, -0.2, 0.0), drag=0.3,
                             curl_strength=1.2, curl_freq=0.3),
@@ -242,8 +242,8 @@ def c4() -> SceneConfig:
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
                             engine="slab", slab_fp32=False,
                             slab_grouped=True, slab_particle_chunk=128,
-                            tile_h=8, tile_w=32, near_fade_start=7.0,
-                            near_fade_end=5.0,
+                            tile_h=8, tile_w=32, near_fade_start=9.0,
+                            near_fade_end=6.5,
                             max_tiles_per_particle=64, max_pairs=163840,
                             max_pairs_per_tile=128, density_scale=10.0),
     )
