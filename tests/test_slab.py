@@ -88,9 +88,11 @@ def test_slab_onehot_and_gather_paths(tiny_cfg):
 
 
 def test_slab_lit_matches_oracle(tiny_lit_cfg):
+    from volq.volume.lightbake import dominant_axis
     cfg = _slabify(tiny_lit_cfg)
     state, camera, light = setup(cfg)
-    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction))
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
     d, img, _ = _diff(cfg, state, camera, light,
                       light_volumes=np.asarray(lvol))
     assert img[..., 3].max() > 0.05
@@ -154,8 +156,10 @@ def test_slab_grouped_lit_large_bank(tiny_cfg):
         render=dataclasses.replace(tiny_cfg.render, engine="slab",
                                    slab_grouped=True, light_steps=4,
                                    slab_particle_chunk=4))
+    from volq.volume.lightbake import dominant_axis
     state, camera, light = setup(cfg)
-    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction))
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
     d, img, _ = _diff(cfg, state, camera, light,
                       light_volumes=np.asarray(lvol))
     assert d < TOL, f"max diff {d}"
@@ -173,16 +177,28 @@ def test_slab_consistent_with_exact_renderer(tiny_cfg):
     assert psnr > 30.0, f"slab vs exact PSNR {psnr:.1f} dB"
 
 
-def test_lightbake_matches_bruteforce_march():
+import pytest
+
+
+@pytest.mark.parametrize("L_raw", [
+    (0.3, 0.2, 0.9),     # +z sweep (the only case round 1 tested)
+    (0.5, 0.1, -0.8),    # -z sweep: the drift-sign branch every default
+                         # preset light hits (round-1 bug: mirrored drift)
+    (0.9, 0.25, 0.3),    # x-dominant: sweep along x
+    (0.15, -0.9, 0.35),  # y-dominant, negative: sweep along -y
+])
+def test_lightbake_matches_bruteforce_march(L_raw):
     """The sweep recurrence vs a direct numerical integral toward the
     light: agreement to quadrature tolerance at interior voxels."""
     import jax
+    from volq.volume.lightbake import dominant_axis
     key = jax.random.PRNGKey(0)
     V = 16
     vol = jax.random.uniform(key, (1, V, V, V), jnp.float32) * 0.5
-    L = np.asarray([0.3, 0.2, 0.9], np.float64)
+    L = np.asarray(L_raw, np.float64)
     L = L / np.linalg.norm(L)
-    tau = np.asarray(bake_light_volumes(vol, jnp.asarray(L, jnp.float32)))
+    tau = np.asarray(bake_light_volumes(vol, jnp.asarray(L, jnp.float32),
+                                        axis=dominant_axis(L)))
     voln = np.asarray(vol[0], np.float64)
 
     def brute(x, y, z):
@@ -220,6 +236,41 @@ def test_lightbake_matches_bruteforce_march():
         got = tau[0, z, x, y]
         assert abs(got - want) < 0.3 * max(want, 0.05), \
             f"voxel ({x},{y},{z}): sweep {got:.4f} vs brute {want:.4f}"
+
+
+def test_lightbake_shadow_falls_away_from_light():
+    """A dense blob must cast its shadow on the side AWAY from the light:
+    tau(center - s*L) >> tau(center + s*L).  The round-1 drift-sign bug
+    mirrored the in-plane drift for lights with a negative sweep component,
+    landing the shadow on the wrong x side for L = (0.5, 0, -0.8)-class
+    directions (every default preset light) — this asserts the geometry
+    directly instead of trusting oracle parity (the oracle consumes the
+    same baked volume, so parity alone cannot catch it)."""
+    V = 24
+    g = np.arange(V, dtype=np.float64)
+    zz, xx, yy = np.meshgrid(g, g, g, indexing="ij")   # z-major storage
+    c = (V - 1) / 2.0
+    blob = np.exp(-(((xx - c) ** 2 + (yy - c) ** 2 + (zz - c) ** 2)
+                    / (2.0 * 2.0 ** 2)))
+    vol = jnp.asarray(blob[None], jnp.float32)
+    for L_raw in [(0.5, 0.0, -0.8), (0.5, 0.0, 0.8), (-0.8, 0.4, 0.3)]:
+        L = np.asarray(L_raw, np.float64)
+        L = L / np.linalg.norm(L)
+        from volq.volume.lightbake import dominant_axis
+        tau = np.asarray(bake_light_volumes(
+            vol, jnp.asarray(L, jnp.float32), axis=dominant_axis(L)))[0]
+
+        def tau_at(p):
+            i = np.clip(np.round(p).astype(int), 0, V - 1)
+            return tau[i[2], i[0], i[1]]               # [z, x, y]
+
+        center = np.array([c, c, c])
+        off = 6.0 * L
+        shadow_side = tau_at(center - off)
+        light_side = tau_at(center + off)
+        assert shadow_side > 4.0 * max(light_side, 1e-4), (
+            f"L={L_raw}: shadow tau {shadow_side:.4f} !>> "
+            f"lit-side tau {light_side:.4f}")
 
 
 def test_near_fade_matches_oracle(tiny_cfg):

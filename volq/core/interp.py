@@ -2,14 +2,17 @@
 
 The voxel convention of record (mirrored in the oracle): a volume is a
 [V, V, V] grid of samples at positions u * (V - 1) for local coordinates
-u in [0, 1]^3 (x-major linearization: lin = (x * V + y) * V + z).  The base
-cell index is floor(g) clamped to [0, V-2] and the fractional weights are
-clamped to [0, 1], so queries are well-defined slightly outside the box.
+u in [0, 1]^3, stored z-major — the array is [V_z, V_x, V_y] and element
+(x, y, z) lives at lin = (z * V + x) * V + y, so a constant-z slice is
+contiguous (what the slab renderer marches).  The base cell index is
+floor(g) clamped to [0, V-2] and the fractional weights are clamped to
+[0, 1], so queries are well-defined slightly outside the box.
 
 TPU note: per-sample fetches use XLA's native gather HLO (jnp.take on a
-flat bank). Measured on v5e: ~200e9 gathers/s — far faster than any
-one-hot/MXU reformulation of trilinear sampling (8 fetches/sample beats
-V^3 MACs/sample for every V used here), and in-Pallas gathers do not lower
+flat bank), which lowers to a scalar-driven loop at ~1e8 fetches/s on v5e
+(no hardware gather; docs/DESIGN.md §1) — fine for the semantics-of-record
+exact engine, far too slow for the hot path, which is why render/slab.py
+reformulates sampling as MXU contractions.  In-Pallas gathers do not lower
 in this toolchain (docs/DESIGN.md). Volumes are stored bf16 (HBM bandwidth)
 and widened to fp32 before the interpolation arithmetic; the oracle reads
 the identical bf16 grid values, so storage precision cancels in the diff.

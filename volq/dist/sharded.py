@@ -28,7 +28,7 @@ from volq.render import render_frame_tiles, assemble_image
 from volq.scene.config import SceneConfig
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
-from volq.volume.lightbake import bake_light_volumes
+from volq.volume.lightbake import bake_light_volumes, dominant_axis
 
 
 def _cdiv(a, b):
@@ -100,7 +100,8 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
         light_volumes = None
         if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
             light_volumes = bake_light_volumes(
-                volumes, jnp.asarray(light.direction, jnp.float32))
+                volumes, jnp.asarray(light.direction, jnp.float32),
+                axis=dominant_axis(cfg.light.direction))
 
         tile_start = idx * tiles_local
         tiles, stats = render_frame_tiles(parts_full, volumes, camera, light,

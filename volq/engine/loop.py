@@ -20,7 +20,7 @@ from volq.scene.config import SceneConfig
 from volq.scene.state import init_scene, build_camera, build_light
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
-from volq.volume.lightbake import bake_light_volumes
+from volq.volume.lightbake import bake_light_volumes, dominant_axis
 
 
 def _light_volumes(state, light, cfg: SceneConfig):
@@ -28,7 +28,8 @@ def _light_volumes(state, light, cfg: SceneConfig):
     (Static scenes recompute it too — it is cheap relative to the march;
     cache later if profiling says otherwise.)"""
     if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
-        return bake_light_volumes(state.volumes, jnp.asarray(light.direction))
+        return bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                                  axis=dominant_axis(cfg.light.direction))
     return None
 
 
@@ -76,14 +77,14 @@ def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,
         state = step_only(state, cfg)
 
     images, all_stats = [], []
-    for _ in range(n_frames):
+    for i in range(n_frames):
         state, image, stats = frame(state, camera, light, cfg)
         if fetch_images:
             images.append(jax.device_get(image))
         host_stats = {k: int(v) for k, v in jax.device_get(stats).items()}
         all_stats.append(host_stats)
         if on_frame is not None:
-            on_frame(len(images) - 1, image, host_stats)
+            on_frame(i, image, host_stats)
     return state, images if fetch_images else None, all_stats
 
 

@@ -4,7 +4,7 @@ The exact renderer marches secondary rays toward the light per sample —
 8 more gathers per sample, which the slab engine cannot afford.  Instead
 the directional-light optical depth is baked into a volume once per frame
 per bank entry, by the classic slice-sweep: starting from the light-entry
-face, each z-slice's accumulated depth is the previous (closer-to-light)
+face, each slice's accumulated depth is the previous (closer-to-light)
 slice's depth resampled along the in-plane light drift plus the local
 density contribution (trapezoid rule).  Pure shifts + lerps — no gather.
 
@@ -15,16 +15,41 @@ applies  atten = exp(-density_scale * fade * ext * tau)  per particle —
 exact with respect to this bake's quadrature, including per-particle fade
 and size (oracle/slab_cpu.py samples the identical baked volume).
 
-Limitation (documented): the sweep runs along the volume z axis; the
-in-plane drift per slice is L_xy / |L_z|, so light directions nearly
-perpendicular to z degrade (|L_z| is clamped to MIN_LZ).
+Sweep axis: the sweep runs along the volume axis most aligned with the
+light (``dominant_axis``), so the in-plane drift per slice is at most 1
+voxel per step (|L_plane| / |L_axis| <= sqrt(2) for the dominant axis) and
+arbitrary light directions are supported — there is no restricted cone.
+The drift toward the light is L_plane / |L_axis| *regardless* of which
+face the light enters (only the sweep order depends on the sign); a
+round-1 bug multiplied the drift by sign(L_axis), mirroring shadows for
+lights entering at the low face (tests/test_slab.py parametrizes both
+signs and an in-plane-dominant light against a brute-force march).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-MIN_LZ = 0.15
+MIN_LAXIS = 0.15
+
+
+def dominant_axis(direction) -> int:
+    """World axis index (0=x, 1=y, 2=z) with the largest |component|.
+    Call with the *static* config tuple so the sweep layout is compile-time
+    (|component| >= 1/sqrt(3) for the dominant axis, far from MIN_LAXIS)."""
+    d = [abs(float(direction[0])), abs(float(direction[1])),
+         abs(float(direction[2]))]
+    return int(max(range(3), key=lambda i: d[i]))
+
+
+# Volume storage is z-major [M, V_z, V_x, V_y] (core/interp.py).  For a
+# sweep along world axis w: (transpose putting w's volume dim at axis 1,
+# inverse transpose, light component on the transposed dim -2, on dim -1).
+_SWEEPS = {
+    2: ((0, 1, 2, 3), (0, 1, 2, 3), 0, 1),   # sweep z; plane dims (x, y)
+    0: ((0, 2, 1, 3), (0, 2, 1, 3), 2, 1),   # sweep x; plane dims (z, y)
+    1: ((0, 3, 1, 2), (0, 2, 3, 1), 2, 0),   # sweep y; plane dims (z, x)
+}
 
 
 def _shift2d(a, dx, dy):
@@ -52,24 +77,29 @@ def _shift2d(a, dx, dy):
     return out
 
 
-def bake_light_volumes(volumes, light_dir):
+def bake_light_volumes(volumes, light_dir, axis: int = 2):
     """volumes: [M, V, V, V] (z-major) densities.  light_dir: [3] unit
-    vector toward the light.  Returns tau_raw [M, V, V, V] f32."""
+    vector toward the light.  axis: static world axis to sweep along
+    (use ``dominant_axis(cfg.light.direction)``).
+    Returns tau_raw [M, V, V, V] f32 in the original z-major layout."""
+    perm, inv_perm, ci, cj = _SWEEPS[axis]
     M, V = volumes.shape[0], volumes.shape[-1]
-    vols = volumes.astype(jnp.float32)
-    lx, ly, lz = light_dir[0], light_dir[1], light_dir[2]
-    sgn = jnp.where(lz >= 0, 1.0, -1.0)
-    alz = jnp.maximum(jnp.abs(lz), MIN_LZ)
-    # in-plane voxel drift per one-voxel z step toward the light, and the
-    # world path length per step for a unit-cube volume
-    dx = lx / alz * sgn
-    dy = ly / alz * sgn
-    dl = (1.0 / (V - 1)) / alz
+    vols = volumes.astype(jnp.float32).transpose(perm)
+    la = light_dir[axis]
+    li, lj = light_dir[ci], light_dir[cj]
+    ala = jnp.maximum(jnp.abs(la), MIN_LAXIS)
+    # In-plane voxel drift of the path toward the light per one-voxel step
+    # along the sweep axis, and the world path length per step for a
+    # unit-cube volume.  The drift sign does NOT depend on sign(la): only
+    # the sweep order and entry face do.
+    dx = li / ala
+    dy = lj / ala
+    dl = (1.0 / (V - 1)) / ala
 
     # slice order: from the light-entry face inward.
-    # lz > 0 -> light enters at z = V-1, sweep k = V-1 .. 0
+    # la > 0 -> light enters at k = V-1, sweep k = V-1 .. 0
     ks_fwd = jnp.arange(V, dtype=jnp.int32)
-    ks = jnp.where(lz >= 0, V - 1 - ks_fwd, ks_fwd)
+    ks = jnp.where(la >= 0, V - 1 - ks_fwd, ks_fwd)
 
     def get_slice(k):
         return jax.lax.dynamic_slice(
@@ -91,7 +121,7 @@ def bake_light_volumes(volumes, light_dir):
     (_, _), taus = jax.lax.scan(body, (zero, entry_sig), ks[1:])
     taus = jnp.concatenate([zero[None], taus], axis=0)   # [V, M, V, V]
 
-    # scatter the sweep order back to ascending-z storage: sweep index i
+    # scatter the sweep order back to ascending storage: sweep index i
     # wrote slice ks[i]
     out = jnp.zeros((V, M, V, V), jnp.float32).at[ks].set(taus)
-    return out.transpose(1, 0, 2, 3)                      # [M, V, V, V]
+    return out.transpose(1, 0, 2, 3).transpose(inv_perm)  # [M, V, V, V]
