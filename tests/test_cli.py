@@ -1,0 +1,65 @@
+"""CLI smoke tests (the user surface), including the mesh path on the
+8-virtual-device CPU backend (VERDICT round-1 item 9)."""
+import json
+import os
+
+import numpy as np
+
+from volq.cli import main
+
+
+_SHRINK = ["--set", "render.width=128", "--set", "render.height=64",
+           "--set", "render.steps=8", "--set", "volume.size=16",
+           "--set", "n_particles=8", "--set", "init=grid",
+           "--set", "emitter.size_min=0.4", "--set", "emitter.size_max=0.7"]
+
+
+def test_cli_mesh_smoke(tmp_path):
+    out = tmp_path / "mesh_out"
+    rc = main(["--preset", "c1", "--frames", "2", "--mesh", "8",
+               "--out", str(out), "--npy"] + _SHRINK)
+    assert rc == 0
+    a = np.load(out / "frame_0001.npy")
+    assert a.shape == (64, 128, 4)
+    assert a[..., 3].max() > 0.05
+
+
+def test_cli_mesh_matches_single(tmp_path):
+    """The sharded CLI path must produce the same frames as single-chip."""
+    out1 = tmp_path / "single"
+    out8 = tmp_path / "mesh"
+    main(["--preset", "c1", "--frames", "1", "--out", str(out1), "--npy"]
+         + _SHRINK)
+    main(["--preset", "c1", "--frames", "1", "--mesh", "8",
+          "--out", str(out8), "--npy"] + _SHRINK)
+    a = np.load(out1 / "frame_0000.npy")
+    b = np.load(out8 / "frame_0000.npy")
+    assert np.abs(a - b).max() < 1e-6
+
+
+def test_cli_mesh_resume(tmp_path):
+    """--mesh with --resume: mesh built from the checkpoint's cfg."""
+    out = tmp_path / "o"
+    ck = tmp_path / "ck.npz"
+    main(["--preset", "c1", "--frames", "1", "--out", str(out), "--npy",
+          "--checkpoint", str(ck)] + _SHRINK)
+    rc = main(["--resume", str(ck), "--preset", "c1", "--frames", "1",
+               "--mesh", "8", "--out", str(out), "--npy"] + _SHRINK)
+    assert rc == 0
+
+
+def test_cli_warp_engine(tmp_path):
+    out = tmp_path / "warp"
+    rc = main(["--preset", "c1", "--frames", "1", "--out", str(out),
+               "--npy", "--set", "render.engine=warp",
+               "--set", "render.warp_rect=96"] + _SHRINK)
+    assert rc == 0
+    a = np.load(out / "frame_0000.npy")
+    assert a[..., 3].max() > 0.05
+
+
+def test_cli_dump_config(capsys):
+    rc = main(["--preset", "c2", "--dump-config"])
+    assert rc == 0
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["n_particles"] == 64

@@ -33,7 +33,11 @@ def _compare_sharded(cfg, n_frames=3):
                     jax.tree.leaves(sh_state.particles)):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64), atol=1e-6)
-    assert int(st_1["pairs_kept"]) == int(st_8["pairs_kept"])
+    # NOTE: band-local diagnostics like the warp engine's "rendered" are
+    # psum'd over shards and legitimately over-count particles visible in
+    # several bands — only partition-independent stats compare exactly.
+    if "pairs_kept" in st_1:
+        assert int(st_1["pairs_kept"]) == int(st_8["pairs_kept"])
     assert int(st_1["alive"]) == int(st_8["alive"])
     return st_8
 
@@ -52,6 +56,20 @@ def test_sharded_animated_rebake(tiny_cfg):
         volume=VolumeConfig(size=8, bank_size=8, octaves=1, animated=True),
         emitter=dataclasses.replace(tiny_cfg.emitter, rate=30.0))
     _compare_sharded(cfg, n_frames=2)
+
+
+def test_sharded_warp_row_bands_match_single_device(tiny_cfg):
+    """The warp engine shards by pixel ROW bands (no tile lists): the
+    sharded frame must match single-chip, including lighting (baked
+    light volumes replicated) and live emission."""
+    cfg = dataclasses.replace(
+        tiny_cfg, n_particles=16,
+        render=dataclasses.replace(tiny_cfg.render, engine="warp",
+                                   warp_rect=48, warp_chunk=4,
+                                   light_steps=4),
+        emitter=dataclasses.replace(tiny_cfg.emitter, rate=30.0,
+                                    life_min=0.4, life_max=0.8))
+    _compare_sharded(cfg)
 
 
 def test_sharded_emission_matches_global_order(tiny_cfg):

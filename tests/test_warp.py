@@ -1,0 +1,204 @@
+"""Warp-renderer tests: the shear-warp impostor path (render/warp.py)
+must match ITS oracle (oracle/warp_cpu.py) to 1e-3 per pixel across
+projections, camera orientations (incl. the yaw row-fan pass), bank-fetch
+strategies, lighting, and quantization modes — and stay visually
+consistent with the exact per-ray renderer (PSNR sanity bound)."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volq.engine.loop import setup, render_only
+from volq.oracle.warp_cpu import render_warp_oracle
+from volq.volume.lightbake import bake_light_volumes, dominant_axis
+from volq.scene.config import (SceneConfig, VolumeConfig, EmitterConfig,
+                               CameraConfig, RenderConfig)
+
+TOL = 1e-3
+
+
+def _warpify(cfg, **kw):
+    return dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, engine="warp",
+                                        warp_rect=48, warp_chunk=4, **kw))
+
+
+def _diff(cfg, state, camera, light, light_volumes=None):
+    img, stats = render_only(state, camera, light, cfg)
+    img = np.asarray(img, np.float64)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=light_volumes)
+    return np.abs(img - ref).max(), img, stats
+
+
+def test_warp_matches_oracle_persp(tiny_cfg):
+    cfg = _warpify(tiny_cfg)
+    state, camera, light = setup(cfg)
+    d, img, stats = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+    assert int(stats["rendered"]) > 0
+
+
+def test_warp_matches_oracle_ortho():
+    cfg = SceneConfig(
+        n_particles=1, init="single", seed=1,
+        volume=VolumeConfig(size=16, bank_size=1, octaves=2),
+        emitter=EmitterConfig(size_min=1.0, size_max=1.0,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(0, 0, -4), projection="ortho",
+                            ortho_half_h=1.4),
+        render=RenderConfig(width=128, height=64, steps=8, engine="warp",
+                            warp_rect=64, density_scale=12.0),
+    )
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.1
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_backward_rays_match():
+    """Camera looking along -z: all rays have dz < 0, exercising the
+    back-to-front accumulator selection (szn < 0)."""
+    cfg = SceneConfig(
+        n_particles=4, init="grid", seed=7,
+        volume=VolumeConfig(size=16, bank_size=2, octaves=2),
+        emitter=EmitterConfig(radius=1.2, size_min=0.5, size_max=0.8,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(0.2, 0.4, 5.0), look_at=(0, 0, 0)),
+        render=RenderConfig(width=128, height=64, steps=8, engine="warp",
+                            warp_rect=48, density_scale=10.0),
+    )
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_yawed_camera_row_fan():
+    """A yawed camera (eye off the z axis, looking at the origin) makes
+    the row ray-coordinate column-dependent — exercises needs_row_fan
+    and the second shift-interp pass."""
+    from volq.render.warp import needs_row_fan
+    cfg = SceneConfig(
+        n_particles=4, init="grid", seed=9,
+        volume=VolumeConfig(size=16, bank_size=2, octaves=2),
+        emitter=EmitterConfig(radius=1.2, size_min=0.5, size_max=0.8,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(3.0, 1.0, -4.5), look_at=(0, 0, 0),
+                            fov_y_deg=50.0),
+        render=RenderConfig(width=128, height=64, steps=8, engine="warp",
+                            warp_rect=48, density_scale=10.0),
+    )
+    assert needs_row_fan(cfg)
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_onehot_and_gather_paths(tiny_cfg):
+    """bank_size 4 uses the one-hot path; >64 the row-gather path."""
+    big_bank = dataclasses.replace(
+        tiny_cfg, n_particles=8,
+        volume=VolumeConfig(size=8, bank_size=80, octaves=1))
+    for cfg in (_warpify(tiny_cfg), _warpify(big_bank)):
+        state, camera, light = setup(cfg)
+        d, img, _ = _diff(cfg, state, camera, light)
+        assert d < TOL, f"bank={cfg.volume.bank_size}: max diff {d}"
+
+
+def test_warp_lit_matches_oracle(tiny_lit_cfg):
+    cfg = _warpify(tiny_lit_cfg)
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+    # shadows darken vs the unlit warp render
+    unlit = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, light_steps=0))
+    img_unlit, _ = render_only(state, camera, light, unlit)
+    assert np.asarray(img_unlit)[..., :3].sum() > img[..., :3].sum()
+
+
+def test_warp_bf16_matches_quantized_oracle(tiny_cfg):
+    """warp_fp32=False: bf16 weights/slabs/intermediates/images on device;
+    the oracle quantizes identically."""
+    cfg = _warpify(tiny_cfg, warp_fp32=False)
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_row_band_rendering(tiny_cfg):
+    """The shardable unit: rendering two half-height bands separately
+    must reproduce the full frame exactly."""
+    from volq.render.warp import render_warp
+    cfg = _warpify(tiny_cfg)
+    state, camera, light = setup(cfg)
+    full, _ = render_only(state, camera, light, cfg)
+    H = cfg.render.height
+    top, _ = render_warp(state.particles, state.volumes, camera, light,
+                         cfg, y_start=0, h_local=H // 2)
+    bot, _ = render_warp(state.particles, state.volumes, camera, light,
+                         cfg, y_start=H // 2, h_local=H // 2)
+    stitched = np.concatenate([np.asarray(top), np.asarray(bot)], axis=0)
+    assert np.abs(stitched - np.asarray(full)).max() < 5e-6
+
+
+def test_warp_consistent_with_exact_renderer(tiny_cfg):
+    """Different quadrature + impostor interpolation, same scene: images
+    should agree closely (PSNR bound), validating the warp semantics
+    aren't drifting from the reference-class render."""
+    state, camera, light = setup(tiny_cfg)
+    img_exact, _ = render_only(state, camera, light, tiny_cfg)
+    img_warp, _ = render_only(state, camera, light, _warpify(tiny_cfg))
+    err = np.asarray(img_exact, np.float64) - np.asarray(img_warp,
+                                                         np.float64)
+    mse = float(np.mean(err ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"warp vs exact PSNR {psnr:.1f} dB"
+
+
+def test_warp_matches_slab_renderer_closely(tiny_cfg):
+    """Warp and slab share the z-plane quadrature; differences are only
+    the impostor ray interpolation — images should be very close."""
+    slab = dataclasses.replace(
+        tiny_cfg, render=dataclasses.replace(tiny_cfg.render,
+                                             engine="slab"))
+    state, camera, light = setup(tiny_cfg)
+    img_slab, _ = render_only(state, camera, light, slab)
+    img_warp, _ = render_only(state, camera, light, _warpify(tiny_cfg))
+    err = np.asarray(img_slab, np.float64) - np.asarray(img_warp,
+                                                        np.float64)
+    mse = float(np.mean(err ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 35.0, f"warp vs slab PSNR {psnr:.1f} dB"
+
+
+def test_warp_near_fade_and_straddle_culling():
+    """A particle straddling the eye z-plane is culled (counted), and the
+    near-fade path matches the oracle."""
+    cfg = SceneConfig(
+        n_particles=3, init="grid", seed=5,
+        volume=VolumeConfig(size=16, bank_size=1, octaves=2),
+        emitter=EmitterConfig(radius=4.0, size_min=0.6, size_max=0.9,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(0.0, 0.2, -3.0), fov_y_deg=60.0),
+        render=RenderConfig(width=128, height=64, steps=8, engine="warp",
+                            warp_rect=48, density_scale=10.0),
+    )
+    state, camera, light = setup(cfg)
+    # move particle 0 in front of the camera but straddling its z-plane
+    pos = np.asarray(state.particles.pos).copy()
+    pos[0] = (0.5, 0.2, -2.95)
+    state = state._replace(particles=state.particles._replace(
+        pos=jnp.asarray(pos)))
+    d, img, stats = _diff(cfg, state, camera, light)
+    assert int(stats["warp_culled"]) == 1
+    assert d < TOL, f"max diff {d}"

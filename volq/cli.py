@@ -37,7 +37,27 @@ def _apply_override(cfg, assignment: str):
     return rec(cfg, keys)
 
 
+def _respect_platform_env():
+    """Some environments force-register a TPU platform from sitecustomize
+    at interpreter start, which makes a user-provided JAX_PLATFORMS env
+    var ineffective (it is read before the override).  Re-assert it via
+    jax.config BEFORE any backend initialization so
+    `JAX_PLATFORMS=cpu python -m volq.cli ...` does what it says."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            return
+    except Exception:
+        pass
+    jax.config.update("jax_platforms", want)
+
+
 def main(argv=None):
+    _respect_platform_env()
     ap = argparse.ArgumentParser(prog="volq", description=__doc__)
     ap.add_argument("--preset", choices=["c1", "c2", "c3", "c4", "c5"])
     ap.add_argument("--config", help="JSON config file")
@@ -89,25 +109,29 @@ def main(argv=None):
     import jax
     os.makedirs(args.out, exist_ok=True)
 
+    from volq.scene.state import build_camera, build_light
+
+    if args.resume:
+        # the checkpoint's cfg is authoritative (then re-overridden)
+        state, cfg = checkpoint.load_state(args.resume)
+        for s in args.set:
+            cfg = _apply_override(cfg, s)
+        camera = build_camera(cfg.camera, cfg.render.width,
+                              cfg.render.height)
+        light = build_light(cfg.light)
+    else:
+        state, camera, light = loop.setup(cfg)
+
     if args.mesh:
         from volq.dist.mesh import make_mesh
         from volq.dist.sharded import sharded_frame_fn, shard_state
         mesh = make_mesh(args.mesh)
-        if args.resume:
-            state, cfg = checkpoint.load_state(args.resume)
-        else:
-            state = loop.setup(cfg)[0]
-        _, camera, light = loop.setup(cfg)
         state = shard_state(state, mesh)
         fr = sharded_frame_fn(cfg, mesh)
         step = lambda st: fr(st, camera, light)
     else:
-        if args.resume:
-            state, cfg = checkpoint.load_state(args.resume)
-            _, camera, light = loop.setup(cfg)
-        else:
-            state, camera, light = loop.setup(cfg)
-        step = lambda st: loop.frame(st, camera, light, cfg)
+        lv = loop.cached_light_volumes(state, light, cfg)
+        step = lambda st: loop.frame(st, camera, light, cfg, lv)
 
     profiler_cm = None
     if args.profile:
@@ -124,8 +148,8 @@ def main(argv=None):
             io.save_npy(os.path.join(args.out, f"frame_{i:04d}.npy"),
                         jax.device_get(image))
         host = {k: int(v) for k, v in jax.device_get(stats).items()}
-        print(f"frame {i}: alive={host['alive']} pairs={host['pairs_kept']}"
-              f" dropped={host['cap_dropped'] + host['rank_dropped']}",
+        print(f"frame {i}: " + " ".join(f"{k}={v}" for k, v in
+                                        sorted(host.items())),
               file=sys.stderr)
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.2f}s "

@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from volq.core.types import Particles, SceneState
 from volq.dist.mesh import AXIS
-from volq.render import render_frame_tiles, assemble_image
+from volq.render import render_frame_tiles, render_warp, assemble_image
 from volq.scene.config import SceneConfig
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
@@ -63,9 +63,14 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
     r = cfg.render
     n_tiles = (r.width // r.tile_w) * (r.height // r.tile_h)
     tiles_local = _cdiv(n_tiles, n_shards)
+    warp = r.engine == "warp"
     if cfg.n_particles % n_shards:
         raise ValueError(f"n_particles {cfg.n_particles} must divide by "
                          f"mesh size {n_shards}")
+    if warp and r.height % n_shards:
+        raise ValueError(f"warp engine: height {r.height} must divide by "
+                         f"mesh size {n_shards} (row-band sharding)")
+    h_local = r.height // n_shards if warp else 0
     v = cfg.volume
     bake_sharded = v.animated and v.bank_size % n_shards == 0
 
@@ -98,19 +103,29 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
             state.particles)
 
         light_volumes = None
-        if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
+        if (cfg.render.engine in ("slab", "warp")
+                and cfg.render.light_steps > 0):
             light_volumes = bake_light_volumes(
                 volumes, jnp.asarray(light.direction, jnp.float32),
                 axis=dominant_axis(cfg.light.direction))
 
-        tile_start = idx * tiles_local
-        tiles, stats = render_frame_tiles(parts_full, volumes, camera, light,
-                                          cfg, tile_start=tile_start,
-                                          n_tiles_local=tiles_local,
-                                          light_volumes=light_volumes)
-        # "alive"/"mt_overflow" are computed from the replicated particle
-        # state (identical on every shard): pmax is the identity for them.
-        replicated = {"alive", "mt_overflow", "max_pairs_per_tile_seen"}
+        if warp:
+            # Ray-DP for the warp engine: contiguous pixel ROW bands per
+            # shard (the warp composite is band-native; no tile lists).
+            tiles, stats = render_warp(parts_full, volumes, camera, light,
+                                       cfg, light_volumes=light_volumes,
+                                       y_start=idx * h_local,
+                                       h_local=h_local)
+        else:
+            tile_start = idx * tiles_local
+            tiles, stats = render_frame_tiles(
+                parts_full, volumes, camera, light, cfg,
+                tile_start=tile_start, n_tiles_local=tiles_local,
+                light_volumes=light_volumes)
+        # "alive" etc. are computed from the replicated particle state
+        # (identical on every shard): pmax is the identity for them.
+        replicated = {"alive", "mt_overflow", "max_pairs_per_tile_seen",
+                      "warp_culled"}
         stats = {
             k: (jax.lax.pmax(v_, AXIS) if k in replicated
                 else jax.lax.psum(v_, AXIS))
@@ -126,6 +141,7 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
     @jax.jit
     def frame(state, camera, light):
         state, tiles, stats = body(state, camera, light)
-        return state, assemble_image(tiles, cfg), stats
+        image = tiles if warp else assemble_image(tiles, cfg)
+        return state, image, stats
 
     return frame

@@ -27,15 +27,21 @@ def _light_volumes(state, light, cfg: SceneConfig):
     """Slab engine + shadowing: per-frame baked light optical depth.
     (Static scenes recompute it too — it is cheap relative to the march;
     cache later if profiling says otherwise.)"""
-    if cfg.render.engine == "slab" and cfg.render.light_steps > 0:
+    if cfg.render.engine in ("slab", "warp") and cfg.render.light_steps > 0:
         return bake_light_volumes(state.volumes, jnp.asarray(light.direction),
                                   axis=dominant_axis(cfg.light.direction))
     return None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def frame(state: SceneState, camera, light, cfg: SceneConfig):
-    """Advance one frame. Returns (new_state, image [H,W,4], stats)."""
+def frame(state: SceneState, camera, light, cfg: SceneConfig,
+          light_volumes=None):
+    """Advance one frame. Returns (new_state, image [H,W,4], stats).
+
+    ``light_volumes``: pass a pre-baked light-transmittance bank for
+    STATIC scenes (cached_light_volumes) to skip the per-frame re-bake;
+    None re-bakes inside the frame (required when volumes are animated
+    or the light moves)."""
     state = sim_step(state, cfg)
     if cfg.volume.animated:
         v = cfg.volume
@@ -44,11 +50,24 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig):
                                time_scale=v.time_scale, cutoff=v.cutoff,
                                edge=v.edge)
         state = state._replace(volumes=volumes)
+        light_volumes = None  # stale: volumes just changed
+    if light_volumes is None:
+        light_volumes = _light_volumes(state, light, cfg)
     image, stats = render_frame(state.particles, state.volumes, camera,
-                                light, cfg,
-                                light_volumes=_light_volumes(state, light,
-                                                             cfg))
+                                light, cfg, light_volumes=light_volumes)
     return state, image, stats
+
+
+def cached_light_volumes(state: SceneState, light, cfg: SceneConfig):
+    """Bake the light-transmittance bank ONCE for a static scene (the
+    volumes and light direction never change between frames), or return
+    None when a per-frame bake is required / no bake is needed."""
+    if (cfg.volume.animated or cfg.render.light_steps <= 0
+            or cfg.render.engine not in ("slab", "warp")):
+        return None
+    bake = jax.jit(lambda v, d: bake_light_volumes(
+        v, d, axis=dominant_axis(cfg.light.direction)))
+    return bake(state.volumes, jnp.asarray(light.direction))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -75,10 +94,11 @@ def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,
     step_only = jax.jit(sim_step, static_argnames=("cfg",))
     for _ in range(warmup):
         state = step_only(state, cfg)
+    lv = cached_light_volumes(state, light, cfg)
 
     images, all_stats = [], []
     for i in range(n_frames):
-        state, image, stats = frame(state, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg, lv)
         if fetch_images:
             images.append(jax.device_get(image))
         host_stats = {k: int(v) for k, v in jax.device_get(stats).items()}
@@ -100,13 +120,14 @@ def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 3):
     device (only a tiny checksum is fetched per timing fence, as SURVEY
     §3.5 prescribes)."""
     state, camera, light = setup(cfg)
-    st, image, stats = frame(state, camera, light, cfg)
+    lv = cached_light_volumes(state, light, cfg)
+    st, image, stats = frame(state, camera, light, cfg, lv)
     for _ in range(warmup):
-        st, image, stats = frame(st, camera, light, cfg)
+        st, image, stats = frame(st, camera, light, cfg, lv)
     _sync(image)
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        st, image, stats = frame(st, camera, light, cfg)
+        st, image, stats = frame(st, camera, light, cfg, lv)
     _sync(image)
     dt = (time.perf_counter() - t0) / n_frames
     return dt, jax.device_get(stats)

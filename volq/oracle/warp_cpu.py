@@ -1,0 +1,358 @@
+"""The CPU oracle for the WARP renderer (render/warp.py) — its sampling
+semantics of record, held to the same 1e-3 per-pixel budget.
+
+The warp engine's semantics (defined here, scalar and readable):
+
+  Per particle, a [RP, RP] ray grid is marched: row w is the camera ray
+  through pixel row (sy0 + w) at the particle's center column; column u
+  is the ray whose "ray x-coordinate" rx_u equals that of pixel column
+  (sx0 + u) at the particle's CENTER row (perspective: rx = slope dx/dz;
+  orthographic: the ray's x-intercept at z = 0).  Marching quadrature is
+  identical to the slab engine: ``steps`` planes at local z
+  zeta_s = (s + .5)/steps, dt = min(ext/steps/|d_z|, slab-test segment),
+  planes composited in the ray's near-to-far order, sample counted iff
+  t > 0 and the in-plane coords lie inside the volume.
+
+  A pixel (i, j) of the particle's rect takes the 1-D linear
+  interpolation of the marched grid row j at u* = i + delta(i, j), where
+  delta = (rx_pixel(i, j) - rx_u=i) / (rx_{i+1} - rx_i), clamped to
+  [-K, K - 1e-3] (K = warp_shift_max).  Yawed/rolled cameras apply the
+  symmetric row interpolation afterwards (render/warp.needs_row_fan).
+
+  Particle images (premultiplied C, T) composite onto the frame in
+  ascending view-z order (stable sort), front-to-back OVER — the same
+  global order as raymarch_cpu.py, with per-particle rects clipped to
+  [sx0, sx0+RP) x [sy0, sy0+RP).
+
+All decisions that could flip discretely (rect origins, grid coordinates,
+sampling positions, shift floors) are computed in float32 exactly like
+the device; accumulation is float64.  With warp_fp32=False the device's
+bf16 weight/slab/image quantization is mirrored via _q16.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from volq.oracle.raymarch_cpu import _fade
+from volq.oracle.slab_cpu import _q16
+
+_EPS = 1e-6
+f32 = np.float32
+
+
+def _ray_coords_np(camera, px, py, W, H, projection):
+    """fp32 mirror of render/warp.ray_coords."""
+    px = f32(px)
+    py = f32(py)
+    ndx = (px + f32(0.5)) / f32(W) * f32(2.0) - f32(1.0)
+    ndy = f32(1.0) - (py + f32(0.5)) / f32(H) * f32(2.0)
+    ox = ndx * f32(camera.scale_x)
+    oy = ndy * f32(camera.scale_y)
+    right = np.asarray(camera.right, np.float32)
+    up = np.asarray(camera.up, np.float32)
+    fwd = np.asarray(camera.fwd, np.float32)
+    eye = np.asarray(camera.eye, np.float32)
+    if projection == "persp":
+        dx = fwd[0] + ox * right[0] + oy * up[0]
+        dy = fwd[1] + ox * right[1] + oy * up[1]
+        dz = fwd[2] + ox * right[2] + oy * up[2]
+        dz = np.where(np.abs(dz) < _EPS,
+                      np.where(dz >= 0, _EPS, -_EPS), dz).astype(f32)
+        return (dx / dz).astype(f32), (dy / dz).astype(f32)
+    o_x = eye[0] + ox * right[0] + oy * up[0]
+    o_y = eye[1] + ox * right[1] + oy * up[1]
+    o_z = eye[2] + ox * right[2] + oy * up[2]
+    fz = fwd[2] if abs(float(fwd[2])) >= _EPS else \
+        f32(_EPS if fwd[2] >= 0 else -_EPS)
+    kx = f32(fwd[0] / fz)
+    ky = f32(fwd[1] / fz)
+    return (o_x - o_z * kx).astype(f32), (o_y - o_z * ky).astype(f32)
+
+
+def _bilinear1d(row_vals, u, K):
+    """1-D hat interpolation of row_vals at (already clamped) index u."""
+    d0 = np.floor(u).astype(np.int64)
+    d0 = np.clip(d0, 0, row_vals.shape[-1] - 2)
+    fr = np.clip(u - d0, 0.0, 1.0)
+    return row_vals[..., d0] * (1.0 - fr) + row_vals[..., d0 + 1] * fr
+
+
+def render_warp_oracle(particles, volumes, camera, light, cfg,
+                       light_volumes=None, y_start=0, h_local=None):
+    """Render a frame (or row band) with warp semantics on the CPU.
+    Returns [h_local, W, 4] float64."""
+    r = cfg.render
+    W, H = r.width, r.height
+    if h_local is None:
+        h_local = H
+    RP = r.warp_rect
+    K = r.warp_shift_max
+    S = r.steps
+    proj = cfg.camera.projection
+    quant = not r.warp_fp32
+    from volq.render.warp import needs_row_fan
+    row_fan = needs_row_fan(cfg)
+
+    f64 = lambda a: np.asarray(a, np.float64)
+    pos = np.asarray(particles.pos, np.float32)
+    age, lifetime = f64(particles.age), f64(particles.lifetime)
+    size = np.asarray(particles.size, np.float32)
+    albedo = f64(particles.albedo)
+    vol_idx = np.asarray(particles.vol_idx, np.int64)
+    vols = np.asarray(volumes, np.float32).astype(np.float64)
+    lvols = (None if light_volumes is None
+             else np.asarray(light_volumes, np.float32).astype(np.float64))
+    V = vols.shape[-1]
+    gsc = f32(V - 1)
+    N = pos.shape[0]
+
+    eye = np.asarray(camera.eye, np.float32)
+    right = np.asarray(camera.right, np.float32)
+    up = np.asarray(camera.up, np.float32)
+    fwd = np.asarray(camera.fwd, np.float32)
+    sx, sy = f32(camera.scale_x), f32(camera.scale_y)
+    l_col = f64(light.color)
+    l_amb = f64(light.ambient)
+
+    # ---- per-particle fp32 geometry (mirrors _grid_geometry) ----------
+    rel = pos - eye
+    vx = rel @ right
+    vy = rel @ up
+    vz = rel @ fwd
+    if proj == "persp":
+        vz_safe = np.maximum(vz, f32(1e-3))
+        px_c = (vx / (vz_safe * sx) + f32(1.0)) * f32(0.5 * W)
+        py_c = (f32(1.0) - vy / (vz_safe * sy)) * f32(0.5 * H)
+        in_front = vz > 1e-3
+        dzp = pos[:, 2] - eye[2]
+        szn = np.where(dzp >= 0, 1.0, -1.0)
+        straddle = np.abs(dzp) <= size * f32(1.05)
+    else:
+        px_c = (vx / sx + f32(1.0)) * f32(0.5 * W)
+        py_c = (f32(1.0) - vy / sy) * f32(0.5 * H)
+        in_front = np.ones_like(vz, bool)
+        szn = np.full(N, 1.0 if fwd[2] >= 0 else -1.0)
+        straddle = np.zeros_like(vz, bool)
+
+    alive = np.asarray(particles.age) < np.asarray(particles.lifetime)
+    sx0 = (np.round(px_c) - RP // 2).astype(np.int64)
+    sy0 = (np.round(py_c) - RP // 2).astype(np.int64)
+    on_screen = ((sx0 > -RP) & (sx0 < W)
+                 & (sy0 > y_start - RP) & (sy0 < y_start + h_local))
+    valid = alive & in_front & ~straddle & on_screen
+    if r.near_fade_start > 0.0:
+        valid = valid & (vz > r.near_fade_end)
+
+    z = np.where(valid, vz, np.inf)
+    order = np.argsort(z, kind="stable")
+
+    C = np.zeros((h_local, W, 3), np.float64)
+    T = np.ones((h_local, W), np.float64)
+
+    uu = np.arange(RP, dtype=np.float32)
+
+    for pi in order:
+        if not valid[pi]:
+            continue
+        half = f32(size[pi])
+        ext = f32(2.0) * half
+        lo = pos[pi] - half
+        tau_life = age[pi] / max(lifetime[pi], 1e-6)
+        fade = _fade(tau_life, r.fade_in, r.fade_out)
+        if r.near_fade_start > 0.0:
+            span = max(r.near_fade_start - r.near_fade_end, 1e-6)
+            fade = fade * np.clip((float(vz[pi]) - r.near_fade_end) / span,
+                                  0.0, 1.0)
+        scale = r.density_scale * fade
+        vol = vols[vol_idx[pi]]
+        lvol = None if lvols is None else lvols[vol_idx[pi]]
+
+        # grid ray coordinates (fp32 mirror)
+        pxu = f32(sx0[pi]) + uu
+        pyw = f32(sy0[pi]) + uu
+        rx_u, _ = _ray_coords_np(camera, pxu,
+                                 np.full(RP, py_c[pi], f32) - f32(0.5),
+                                 W, H, proj)
+        _, ry_w = _ray_coords_np(camera,
+                                 np.full(RP, px_c[pi], f32) - f32(0.5),
+                                 pyw, W, H, proj)
+
+        # grid ray origins/directions (for dt, seg, tpos)
+        rx2 = np.float64(1.0) * rx_u[None, :]             # [1,RP]
+        ry2 = np.float64(1.0) * ry_w[:, None]             # [RP,1]
+        if proj == "persp":
+            rnorm = np.sqrt(rx2 * rx2 + ry2 * ry2 + 1.0)
+            s3 = float(szn[pi])
+            d = np.stack([rx2 / rnorm * s3,
+                          np.broadcast_to(ry2 / rnorm, rnorm.shape) * s3,
+                          np.broadcast_to(1.0 / rnorm, rnorm.shape) * s3],
+                         axis=-1)
+            o = np.broadcast_to(eye.astype(np.float64), d.shape)
+            dt_raw = float(ext) / S * rnorm
+        else:
+            fz = float(fwd[2])
+            fzs = fz if abs(fz) >= _EPS else (_EPS if fz >= 0 else -_EPS)
+            kx, ky = float(fwd[0]) / fzs, float(fwd[1]) / fzs
+            ez = float(eye[2])
+            o = np.stack([np.broadcast_to(rx2 + ez * kx, (RP, RP)),
+                          np.broadcast_to(ry2 + ez * ky, (RP, RP)),
+                          np.full((RP, RP), ez)], axis=-1)
+            d = np.broadcast_to(fwd.astype(np.float64), (RP, RP, 3))
+            dt_raw = np.full((RP, RP), float(ext) / S / abs(fzs))
+            s3 = float(szn[pi])
+
+        sign = np.where(d >= 0, 1.0, -1.0)
+        ds = np.where(np.abs(d) < 1e-12, sign * 1e-12, d)
+        inv = 1.0 / ds
+        lo64, hi64 = f64(lo), f64(pos[pi] + half)
+        ta = (lo64 - o) * inv
+        tb = (hi64 - o) * inv
+        t0 = np.maximum(np.minimum(ta, tb).max(-1), 0.0)
+        t1 = np.maximum(ta, tb).min(-1)
+        seg = np.maximum(t1 - t0, 0.0)
+        dt = np.minimum(dt_raw, seg)                       # [RP,RP]
+        o_z = o[..., 2]
+
+        # ---- march the grid (f64 accumulation, fp32 positions) -------
+        Cf = np.zeros((3, RP, RP), np.float64)
+        Cb = np.zeros((3, RP, RP), np.float64)
+        Tp = np.ones((RP, RP), np.float64)
+        for s in range(S):
+            zeta = f32((s + 0.5) / S)
+            gz = zeta * gsc
+            z0 = int(np.clip(np.floor(gz), 0, V - 2))
+            fz_ = float(np.clip(gz - z0, 0.0, 1.0))
+            zw = f32(lo[2]) + zeta * ext                   # fp32 scalar
+            if proj == "persp":
+                c1 = f32(zw) - eye[2]
+                gx_u = ((eye[0] + c1 * rx_u) - lo[0]) / ext * gsc
+                gy_w = ((eye[1] + c1 * ry_w) - lo[1]) / ext * gsc
+            else:
+                fzp = fwd[2] if abs(float(fwd[2])) >= _EPS else \
+                    f32(_EPS if fwd[2] >= 0 else -_EPS)
+                kxp, kyp = f32(fwd[0] / fzp), f32(fwd[1] / fzp)
+                gx_u = ((f32(zw) * kxp + rx_u) - lo[0]) / ext * gsc
+                gy_w = ((f32(zw) * kyp + ry_w) - lo[1]) / ext * gsc
+            inx = (gx_u >= 0) & (gx_u <= gsc)
+            iny = (gy_w >= 0) & (gy_w <= gsc)
+            tpos = (float(zw) - o_z) * s3 > 0
+            inb = iny[:, None] & inx[None, :] & tpos
+
+            slab = vol[z0] + (vol[z0 + 1] - vol[z0]) * fz_  # [V(x),V(y)]
+            gxc = np.clip(gx_u, 0, gsc)
+            gyc = np.clip(gy_w, 0, gsc)
+            sig = _bilin_grid(slab, gxc, gyc, quant)        # [RP(w),RP(u)]
+            alpha = np.where(inb, 1.0 - np.exp(-sig * scale * dt), 0.0)
+            if lvol is not None:
+                lslab = lvol[z0] + (lvol[z0 + 1] - lvol[z0]) * fz_
+                tau = _bilin_grid(lslab, gxc, gyc, quant)
+                atten = np.exp(-scale * float(ext)
+                               * np.maximum(tau, 0.0))[None]
+            else:
+                atten = 1.0
+            col = albedo[pi][:, None, None] * (l_col[:, None, None] * atten
+                                               + l_amb[:, None, None])
+            a3 = alpha[None]
+            Cf = Cf + (Tp * alpha)[None] * col
+            Cb = a3 * col + (1.0 - a3) * Cb
+            Tp = Tp * (1.0 - alpha)
+
+        Cp = Cf if szn[pi] >= 0 else Cb
+        img = np.concatenate([Cp, Tp[None]], axis=0)       # [4,RP,RP]
+        if quant:
+            img = _q16(img)
+
+        # ---- fan correction (fp32 mirror of _warp_images) ------------
+        pxi = f32(sx0[pi]) + uu
+        pyj = f32(sy0[pi]) + uu
+        PXI, PYJ = np.meshgrid(pxi, pyj)                   # [RP(j),RP(i)]
+        rx_p, ry_p = _ray_coords_np(camera, PXI, PYJ, W, H, proj)
+        ii = np.arange(RP, dtype=np.float32)
+        du = _edge_clamped_shift_np(
+            (rx_p - rx_u[None, :]) * _signed_inv_spacing_np(rx_u)[None, :],
+            K, RP, ii[None, :])
+        img = _interp_cols(img, ii[None, :] + du)
+        if row_fan:
+            dw = _edge_clamped_shift_np(
+                (ry_p - ry_w[:, None]) * _signed_inv_spacing_np(ry_w)[:,
+                                                                      None],
+                K, RP, ii[:, None])
+            img = _interp_rows(img, ii[:, None] + dw)
+
+        # ---- composite the rect onto the frame ------------------------
+        x0, y0 = int(sx0[pi]), int(sy0[pi]) - int(y_start)
+        fx0, fy0 = max(x0, 0), max(y0, 0)
+        fx1, fy1 = min(x0 + RP, W), min(y0 + RP, h_local)
+        if fx1 <= fx0 or fy1 <= fy0:
+            continue
+        wi = img[:, fy0 - y0:fy1 - y0, fx0 - x0:fx1 - x0]
+        Tw = T[fy0:fy1, fx0:fx1]
+        C[fy0:fy1, fx0:fx1] += (Tw[None] * wi[:3]).transpose(1, 2, 0)
+        T[fy0:fy1, fx0:fx1] = Tw * wi[3]
+
+    bg = np.asarray(r.background, np.float64)
+    return np.concatenate([C + T[..., None] * bg, (1.0 - T)[..., None]],
+                          axis=-1)
+
+
+def _bilin_grid(slab, gx_u, gy_w, quant):
+    """Separable bilinear, mirroring the device's two contractions
+    INCLUDING the intermediate rounding: pass 1 resamples the slab along
+    y (the Wy @ slab contraction, f32 accumulation, then cast to the
+    working dtype); pass 2 contracts with the Wx hat weights.  With
+    ``quant`` every stored tensor (slab, weights, the pass-1 result) is
+    bf16-rounded exactly as on device.  out[w, u]."""
+    V = slab.shape[0]
+    x0 = np.clip(np.floor(gx_u), 0, V - 2).astype(np.int64)
+    y0 = np.clip(np.floor(gy_w), 0, V - 2).astype(np.int64)
+    fx = np.clip(gx_u - x0, 0.0, 1.0)
+    fy = np.clip(gy_w - y0, 0.0, 1.0)
+    if quant:
+        slab = _q16(slab)
+        w0x, w1x = _q16(1.0 - fx), _q16(fx)
+        w0y, w1y = _q16(1.0 - fy), _q16(fy)
+    else:
+        w0x, w1x = 1.0 - fx, fx
+        w0y, w1y = 1.0 - fy, fy
+    # pass 1: t1[w, a] = sum_b slab[a, b] * hat(gy_w - b)
+    t1 = (slab[:, y0] * w0y + slab[:, y0 + 1] * w1y).T      # [w, a]
+    if quant:
+        t1 = _q16(t1)
+    # pass 2: out[w, u] = sum_a t1[w, a] * hat(gx_u - a)
+    return t1[:, x0] * w0x + t1[:, x0 + 1] * w1x
+
+
+def _signed_inv_spacing_np(coord):
+    """fp32 mirror of render/warp._signed_inv_spacing. coord: [RP] f32."""
+    diff = np.diff(coord, append=coord[-1] * f32(2.0) - coord[-2]) \
+        .astype(f32)
+    return (np.where(diff >= 0, f32(1.0), f32(-1.0))
+            / np.maximum(np.abs(diff), f32(1e-12))).astype(f32)
+
+
+def _edge_clamped_shift_np(raw, K, RP, axis_idx):
+    """fp32 mirror of render/warp._edge_clamped_shift."""
+    du = np.clip(raw.astype(f32), f32(-K), f32(K - 1e-3))
+    du = np.maximum(du, -axis_idx)
+    du = np.minimum(du, f32(RP - 1.0 - 1e-3) - axis_idx)
+    return du
+
+
+def _interp_cols(img, u_star):
+    """img [4, RP, RP(u)]; u_star [RP(j), RP(i)] -> [4, RP, RP]."""
+    RP = img.shape[-1]
+    u0 = np.clip(np.floor(u_star), 0, RP - 2).astype(np.int64)
+    fr = np.clip(u_star - u0, 0.0, 1.0)
+    jj = np.arange(RP)[:, None]
+    out = (img[:, jj, u0] * (1.0 - fr) + img[:, jj, u0 + 1] * fr)
+    return out
+
+
+def _interp_rows(img, w_star):
+    """img [4, RP(w), RP]; w_star [RP(j), RP(i)] -> [4, RP, RP]."""
+    RP = img.shape[1]
+    w0 = np.clip(np.floor(w_star), 0, RP - 2).astype(np.int64)
+    fr = np.clip(w_star - w0, 0.0, 1.0)
+    ii = np.arange(RP)[None, :]
+    out = (img[:, w0, ii] * (1.0 - fr) + img[:, w0 + 1, ii] * fr)
+    return out

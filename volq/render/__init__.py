@@ -2,10 +2,14 @@ from volq.render.binning import bin_particles, PairList
 from volq.render.xla_render import (render, render_tiles, composite_pairs,
                                     assemble_image)
 from volq.render.slab import render_slab, render_slab_tiles
+from volq.render.warp import render_warp
 
 
 def render_frame(particles, volumes, camera, light, cfg, light_volumes=None):
     """Engine-dispatching full-frame render (cfg.render.engine)."""
+    if cfg.render.engine == "warp":
+        return render_warp(particles, volumes, camera, light, cfg,
+                           light_volumes=light_volumes)
     if cfg.render.engine == "slab":
         return render_slab(particles, volumes, camera, light, cfg,
                            light_volumes=light_volumes)
@@ -26,4 +30,5 @@ def render_frame_tiles(particles, volumes, camera, light, cfg, tile_start=0,
 
 __all__ = ["bin_particles", "PairList", "render", "render_tiles",
            "composite_pairs", "assemble_image", "render_slab",
-           "render_slab_tiles", "render_frame", "render_frame_tiles"]
+           "render_slab_tiles", "render_warp", "render_frame",
+           "render_frame_tiles"]

@@ -1,0 +1,595 @@
+"""The warp renderer — per-particle shear-warp impostors, the TPU fast
+path (round-2 redesign; see docs/DESIGN.md §6).
+
+Why it exists: the slab engine's per-(tile, particle) march costs
+tp * V * V MACs per tile-step (~20 TFLOP/frame for BASELINE config 3) —
+no amount of tuning reaches the 500 Mrays/s target from there.  This
+engine is the classic shear-warp factorization rebuilt for the MXU:
+
+  1. **Slope-grid march** (per particle, once — not per tile): grid cell
+     (w, u) is the camera ray through pixel row ``sy0+w`` and "ray
+     x-coordinate" ``rx_u`` (perspective: the slope dx/dz of the ray
+     through pixel column ``sx0+u`` at the particle's center row;
+     orthographic: the ray's x-intercept).  On every marching plane
+     z = const the sample position is then a per-particle affine function
+     of rx_u ALONE and of ry_w ALONE — so the trilinear sampling of the
+     whole grid factorizes into two dense MXU matmuls per (particle,
+     step): sigma = Wy @ slab @ Wx^T, with hat-function weight matrices
+     built from iota comparisons (no gather anywhere).  Cost:
+     RP*V*(V+RP) MACs per particle-step — ~50x less than the slab
+     engine's per-tile formulation for config 3.
+  2. **Fan correction** (the "warp" of shear-warp): grid columns match
+     pixel columns exactly at the particle's center row; away from it the
+     true pixel ray coordinate drifts by a smoothly varying sub-cell to
+     few-cell amount (the perspective "fan" of a pitched/yawed camera).
+     The pixel value is the 1-D linear interpolation of the marched grid
+     at u* = i + delta(i, j), evaluated as a masked sum over static
+     integer shifts (|delta| <= warp_shift_max, clamped + counted).
+     Cameras with no yaw/roll need no row correction (detected
+     statically); yawed cameras get the symmetric row pass.
+  3. **Depth-ordered composite**: the per-particle premultiplied
+     (C, T) images land on a padded canvas through dynamic-slice
+     front-to-back OVER in global view-z order — the oracle's own loop
+     structure, with no tile binning, no pair lists, and no per-tile
+     depth caps at all.
+
+Approximations vs the exact engine (all mirrored bit-for-bit by the
+oracle, oracle/warp_cpu.py, so the 1e-3 oracle diff is exact):
+  * each pixel's radiance is interpolated between the two neighboring
+    grid rays (sub-pixel ray offset, first-order-exact);
+  * particles whose AABB straddles the eye's z-plane cannot be z-plane
+    marched and are culled (counted as ``warp_culled``; the exact/slab
+    engines still render them);
+  * screen footprints larger than ``warp_rect`` are clipped (counted as
+    ``rect_overflow``).
+
+Lighting samples a baked light-transmittance volume (volume/lightbake.py)
+through the same two-matmul machinery — both banks are stacked into ONE
+batched contraction per step, keeping a single fused dot per loop body
+(docs/DESIGN.md §1b: two separate contractions per body break fusion).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from volq.core.types import Camera, Light, Particles
+from volq.render.xla_render import _fade, _near_fade
+from volq.scene.config import SceneConfig
+
+_EPS = 1e-6
+ONEHOT_MAX_BANK = 64
+
+
+def needs_row_fan(cfg: SceneConfig) -> bool:
+    """True when the pixel->ray-coordinate map's row coordinate depends on
+    the pixel column (yawed or rolled camera), requiring the symmetric
+    row correction pass.  Static: derived from the config camera."""
+    import numpy as np
+    from volq.core.camera import make_camera
+    cam = make_camera(cfg.camera.eye, cfg.camera.look_at, cfg.camera.up,
+                      fov_y_deg=cfg.camera.fov_y_deg, aspect=1.0,
+                      ortho_half_h=cfg.camera.ortho_half_h,
+                      projection=cfg.camera.projection)
+    return bool(abs(float(cam.right[2])) > 1e-6
+                or abs(float(cam.right[1])) > 1e-6
+                or abs(float(np.asarray(cam.up)[0])) > 1e-6)
+
+
+def ray_coords(camera: Camera, px, py, W, H, projection: str):
+    """Ray coordinates (rx, ry) of the pixel rays through (px+.5, py+.5):
+    perspective: slopes (dx/dz, dy/dz) of the eye ray; orthographic: the
+    ray's (x, y) intercept with the z=0 plane.  Pure fp32 elementwise
+    (mirrored by oracle/warp_cpu.py)."""
+    ndx = (px.astype(jnp.float32) + 0.5) / W * 2.0 - 1.0
+    ndy = 1.0 - (py.astype(jnp.float32) + 0.5) / H * 2.0
+    ox = ndx * camera.scale_x
+    oy = ndy * camera.scale_y
+    if projection == "persp":
+        dx = camera.fwd[0] + ox * camera.right[0] + oy * camera.up[0]
+        dy = camera.fwd[1] + ox * camera.right[1] + oy * camera.up[1]
+        dz = camera.fwd[2] + ox * camera.right[2] + oy * camera.up[2]
+        dz = jnp.where(jnp.abs(dz) < _EPS,
+                       jnp.where(dz >= 0, _EPS, -_EPS), dz)
+        return dx / dz, dy / dz
+    # ortho: o = eye + ox*right + oy*up, d = fwd; intercept at z = 0.
+    o_x = camera.eye[0] + ox * camera.right[0] + oy * camera.up[0]
+    o_y = camera.eye[1] + ox * camera.right[1] + oy * camera.up[1]
+    o_z = camera.eye[2] + ox * camera.right[2] + oy * camera.up[2]
+    fz = camera.fwd[2]
+    fz = jnp.where(jnp.abs(fz) < _EPS, jnp.where(fz >= 0, _EPS, -_EPS), fz)
+    kx = camera.fwd[0] / fz
+    ky = camera.fwd[1] / fz
+    return o_x - o_z * kx, o_y - o_z * ky
+
+
+def _plane_pos_coeffs(camera: Camera, projection: str):
+    """pos_x(zw) = c0x(zw) + c1x(zw) * rx (same for y).  Returns a function
+    zw -> (c0x, c1x, c0y, c1y) of a scalar/array zw."""
+    if projection == "persp":
+        def coeffs(zw):
+            c1 = zw - camera.eye[2]
+            return (jnp.broadcast_to(camera.eye[0], zw.shape), c1,
+                    jnp.broadcast_to(camera.eye[1], zw.shape), c1)
+        return coeffs
+    fz = camera.fwd[2]
+    fz = jnp.where(jnp.abs(fz) < _EPS, jnp.where(fz >= 0, _EPS, -_EPS), fz)
+    kx = camera.fwd[0] / fz
+    ky = camera.fwd[1] / fz
+
+    def coeffs(zw):
+        one = jnp.ones_like(zw)
+        return zw * kx, one, zw * ky, one
+    return coeffs
+
+
+def _grid_geometry(particles: Particles, camera: Camera, cfg: SceneConfig,
+                   y_start, h_local):
+    """Per-particle validity, rect origin, grid ray coordinates, and
+    screen-center projection.  Returns dict of [N]/[N,RP] arrays + stats
+    pieces.  All fp32, mirrored by the oracle."""
+    r = cfg.render
+    RP = r.warp_rect
+    W, H = r.width, r.height
+    proj = cfg.camera.projection
+    pos = particles.pos.astype(jnp.float32)
+    half = particles.size.astype(jnp.float32)
+
+    rel = pos - camera.eye
+    vx = rel @ camera.right
+    vy = rel @ camera.up
+    vz = rel @ camera.fwd
+    if proj == "persp":
+        vz_safe = jnp.maximum(vz, jnp.float32(1e-3))
+        px_c = (vx / (vz_safe * camera.scale_x) + 1.0) * (0.5 * W)
+        py_c = (1.0 - vy / (vz_safe * camera.scale_y)) * (0.5 * H)
+        in_front = vz > 1e-3
+        dzp = pos[:, 2] - camera.eye[2]
+        szn = jnp.where(dzp >= 0, 1.0, -1.0)
+        straddle = jnp.abs(dzp) <= half * 1.05
+    else:
+        px_c = (vx / camera.scale_x + 1.0) * (0.5 * W)
+        py_c = (1.0 - vy / camera.scale_y) * (0.5 * H)
+        in_front = jnp.ones_like(vz, bool)
+        fz = camera.fwd[2]
+        szn = jnp.broadcast_to(jnp.where(fz >= 0, 1.0, -1.0), vz.shape)
+        straddle = jnp.zeros_like(vz, bool)
+
+    alive = particles.age < particles.lifetime
+    sx0 = (jnp.round(px_c) - RP // 2).astype(jnp.int32)
+    sy0 = (jnp.round(py_c) - RP // 2).astype(jnp.int32)
+
+    y_start = jnp.asarray(y_start, jnp.int32)
+    on_screen = ((sx0 > -RP) & (sx0 < W)
+                 & (sy0 > y_start - RP) & (sy0 < y_start + h_local))
+    valid = alive & in_front & ~straddle & on_screen
+    if r.near_fade_start > 0.0:
+        valid = valid & (vz > r.near_fade_end)
+
+    tau_life = particles.age / jnp.maximum(particles.lifetime, 1e-6)
+    scale = (r.density_scale * _fade(tau_life, r.fade_in, r.fade_out)
+             * _near_fade(vz, r))
+
+    # Grid ray coordinates: column u samples pixel (sx0+u) at the
+    # CONTINUOUS center row py_c (so the grid depends continuously on the
+    # particle state — only border clipping feels rect off-by-ones);
+    # row w samples pixel row (sy0+w) at the center column px_c.
+    uu = jnp.arange(RP, dtype=jnp.float32)
+    pxu = sx0[:, None].astype(jnp.float32) + uu[None, :]
+    pyw = sy0[:, None].astype(jnp.float32) + uu[None, :]
+    rx_u, _ = ray_coords(camera, pxu, jnp.broadcast_to(py_c[:, None],
+                                                       pxu.shape) - 0.5,
+                         W, H, proj)
+    _, ry_w = ray_coords(camera, jnp.broadcast_to(px_c[:, None],
+                                                  pyw.shape) - 0.5, pyw,
+                         W, H, proj)
+    # NOTE: ray_coords adds +0.5 internally; px_c/py_c are already pixel
+    # coordinates of the center, hence the -0.5 above.
+
+    # Footprint overflow (conservative corner-projection rect).
+    signs = jnp.asarray([[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+                         for sz in (-1, 1)], jnp.float32)
+    corners = pos[:, None, :] + half[:, None, None] * signs[None]
+    crel = corners - camera.eye
+    cvx = crel @ camera.right
+    cvy = crel @ camera.up
+    cvz = crel @ camera.fwd
+    if proj == "persp":
+        cvz = jnp.maximum(cvz, 1e-3)
+        cpx = (cvx / (cvz * camera.scale_x) + 1.0) * (0.5 * W)
+        cpy = (1.0 - cvy / (cvz * camera.scale_y)) * (0.5 * H)
+    else:
+        cpx = (cvx / camera.scale_x + 1.0) * (0.5 * W)
+        cpy = (1.0 - cvy / camera.scale_y) * (0.5 * H)
+    foot_w = cpx.max(1) - cpx.min(1)
+    foot_h = cpy.max(1) - cpy.min(1)
+    rect_overflow = jnp.sum((valid & ((foot_w > RP) | (foot_h > RP)))
+                            .astype(jnp.int32))
+
+    stats = {
+        "alive": jnp.sum(alive.astype(jnp.int32)),
+        "rendered": jnp.sum(valid.astype(jnp.int32)),
+        "warp_culled": jnp.sum((alive & in_front & straddle)
+                               .astype(jnp.int32)),
+        "rect_overflow": rect_overflow,
+    }
+    return dict(px_c=px_c, py_c=py_c, sx0=sx0, sy0=sy0, szn=szn,
+                valid=valid, scale=scale, rx_u=rx_u, ry_w=ry_w,
+                vz=vz), stats
+
+
+def _hat(g, size: int, dtype):
+    """Dense 1-D hat weights W[..., v] = max(0, 1 - |g - v|)."""
+    v = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(g[..., None] - v)).astype(dtype)
+
+
+def _fetch_slabs(volumes, rows2d, vol_rows, z0, fz, M, V, dtype):
+    """z-lerped [V, V] slab(s) at (z0, fz) for a particle chunk.
+    Returns [V,V] (shared bank) or [c,V,V].  Same strategy ladder as
+    render/slab.py (shared / one-hot matmul / row gather)."""
+    fz = fz.astype(jnp.float32)
+    if M == 1:
+        sl = jax.lax.dynamic_slice(
+            volumes, (0, z0, 0, 0), (1, 2, V, V))[0].astype(jnp.float32)
+        return (sl[0] + (sl[1] - sl[0]) * fz).astype(dtype)
+    if M <= ONEHOT_MAX_BANK:
+        sl = jax.lax.dynamic_slice(
+            volumes, (0, z0, 0, 0), (M, 2, V, V)).astype(jnp.float32)
+        lerped = (sl[:, 0] + (sl[:, 1] - sl[:, 0]) * fz).astype(dtype)
+        onehot = (vol_rows[:, None]
+                  == jnp.arange(M, dtype=jnp.int32)).astype(dtype)
+        return jnp.einsum("nm,mjk->njk", onehot, lerped,
+                          preferred_element_type=dtype)
+    base = vol_rows * V + z0
+    sl0 = rows2d[base].astype(jnp.float32)
+    sl1 = rows2d[base + 1].astype(jnp.float32)
+    c = vol_rows.shape[0]
+    return (sl0 + (sl1 - sl0) * fz).astype(dtype).reshape(c, V, V)
+
+
+def _march_images(particles: Particles, volumes, camera: Camera,
+                  light: Light, cfg: SceneConfig, geom, light_volumes=None):
+    """March every particle's slope grid.  Returns images [N, 4, RP, RP]
+    (channels 0:3 premultiplied color, 3 transmittance; fp32 or bf16 per
+    cfg.render.warp_fp32) plus the shift-clamp stat is handled by the
+    warp pass."""
+    r = cfg.render
+    RP = r.warp_rect
+    V = volumes.shape[-1]
+    M = volumes.shape[0]
+    S = r.steps
+    N = particles.age.shape[0]
+    proj = cfg.camera.projection
+    wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+    gsc = jnp.float32(V - 1)
+    coeffs = _plane_pos_coeffs(camera, proj)
+    l_col = jnp.asarray(light.color, jnp.float32)[:, None, None]
+    l_amb = jnp.asarray(light.ambient, jnp.float32)[:, None, None]
+    lit = light_volumes is not None
+    rows2d = volumes.reshape(M * V, V * V) if M > ONEHOT_MAX_BANK else None
+    lrows2d = (light_volumes.reshape(M * V, V * V)
+               if lit and M > ONEHOT_MAX_BANK else None)
+
+    def chunk_fn(args):
+        (pos, half, albedo, vol_rows, rx_u, ry_w, szn, scale, valid) = args
+        c = pos.shape[0]
+        lo = pos - half[:, None]
+        ext = 2.0 * half                                  # [c]
+        lo_x, lo_y, lo_z = lo[:, 0], lo[:, 1], lo[:, 2]
+
+        # --- per-cell geometry (once per particle, not per step) -------
+        rx2 = rx_u[:, None, :]                            # [c,1,RP] (lanes=u)
+        ry2 = ry_w[:, :, None]                            # [c,RP,1] (subl=w)
+        if proj == "persp":
+            rnorm = jnp.sqrt(rx2 * rx2 + ry2 * ry2 + 1.0)  # [c,RP,RP]
+            inv_n = 1.0 / rnorm
+            d_x = rx2 * inv_n * szn[:, None, None]
+            d_y = ry2 * inv_n * szn[:, None, None]
+            d_z = inv_n * szn[:, None, None]
+            o_x = jnp.float32(camera.eye[0])
+            o_y = jnp.float32(camera.eye[1])
+            o_z = jnp.broadcast_to(jnp.float32(camera.eye[2]), d_z.shape)
+            dt_raw = (ext / S)[:, None, None] * rnorm
+        else:
+            fz = camera.fwd[2]
+            fzs = jnp.where(jnp.abs(fz) < _EPS,
+                            jnp.where(fz >= 0, _EPS, -_EPS), fz)
+            kx, ky = camera.fwd[0] / fzs, camera.fwd[1] / fzs
+            # rx/ry are z=0 intercepts; the ray ORIGIN sits at the camera
+            # plane z = eye_z so that t > 0 means "in front of the camera"
+            # exactly as in the exact/slab engines.
+            ez = jnp.float32(camera.eye[2])
+            o_x = jnp.broadcast_to(rx2 + ez * kx, (c, RP, RP))
+            o_y = jnp.broadcast_to(ry2 + ez * ky, (c, RP, RP))
+            o_z = jnp.full((c, RP, RP), ez, jnp.float32)
+            d_x = jnp.broadcast_to(jnp.float32(camera.fwd[0]),
+                                   (c, RP, RP))
+            d_y = jnp.broadcast_to(jnp.float32(camera.fwd[1]),
+                                   (c, RP, RP))
+            d_z = jnp.broadcast_to(jnp.float32(camera.fwd[2]),
+                                   (c, RP, RP))
+            dt_raw = jnp.broadcast_to((ext / S)[:, None, None]
+                                      / jnp.abs(fzs), (c, RP, RP))
+
+        def axis_seg(o, d, lo1, hi1):
+            sign = jnp.where(d >= 0, 1.0, -1.0)
+            ds = jnp.where(jnp.abs(d) < 1e-12, sign * 1e-12, d)
+            inv = 1.0 / ds
+            ta = (lo1 - o) * inv
+            tb = (hi1 - o) * inv
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        hi = pos + half[:, None]
+        l3 = lo[:, None, None, :]
+        h3 = hi[:, None, None, :]
+        t0x, t1x = axis_seg(o_x, d_x, l3[..., 0], h3[..., 0])
+        t0y, t1y = axis_seg(o_y, d_y, l3[..., 1], h3[..., 1])
+        t0z, t1z = axis_seg(o_z, d_z, l3[..., 2], h3[..., 2])
+        t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+        t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+        seg = jnp.maximum(t1 - t0, 0.0)
+        dt = jnp.minimum(dt_raw, seg)                     # [c,RP,RP]
+        szn3 = szn[:, None, None]
+
+        sc3 = scale[:, None, None]
+        pv3 = valid[:, None, None]
+
+        def step(s, carry):
+            Cf, Cb, T = carry
+            zeta = (s.astype(jnp.float32) + 0.5) / S
+            gz = zeta * gsc
+            z0 = jnp.clip(jnp.floor(gz), 0, V - 2).astype(jnp.int32)
+            fz_ = jnp.clip(gz - z0.astype(jnp.float32), 0.0, 1.0)
+            zw = lo_z + zeta * ext                        # [c]
+            c0x, c1x, c0y, c1y = coeffs(zw)
+            gx_u = ((c0x[:, None] + c1x[:, None] * rx_u) - lo_x[:, None]) \
+                / ext[:, None] * gsc                      # [c,RP]
+            gy_w = ((c0y[:, None] + c1y[:, None] * ry_w) - lo_y[:, None]) \
+                / ext[:, None] * gsc
+            inx = (gx_u >= 0) & (gx_u <= gsc)
+            iny = (gy_w >= 0) & (gy_w <= gsc)
+            tpos = (zw[:, None, None] - o_z) * szn3 > 0
+            inb = iny[:, :, None] & inx[:, None, :] & tpos & pv3
+
+            Wx = _hat(jnp.clip(gx_u, 0, gsc), V, wdt)     # [c,RP,V(a)]
+            Wy = _hat(jnp.clip(gy_w, 0, gsc), V, wdt)     # [c,RP,V(b)]
+
+            slab = _fetch_slabs(volumes, rows2d, vol_rows, z0, fz_,
+                                M, V, wdt)                # [V,V]|[c,V,V]
+            if lit:
+                lslab = _fetch_slabs(light_volumes, lrows2d, vol_rows,
+                                     z0, fz_, M, V, wdt)
+                if slab.ndim == 2:
+                    sl2 = jnp.stack([slab, lslab])        # [2,V,V]
+                    t1_ = jnp.einsum("nwb,kab->nkwa", Wy, sl2,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    sl2 = jnp.stack([slab, lslab], axis=1)  # [c,2,V,V]
+                    t1_ = jnp.einsum("nwb,nkab->nkwa", Wy, sl2,
+                                     preferred_element_type=jnp.float32)
+                both = jnp.einsum("nkwa,nua->nkwu", t1_.astype(wdt), Wx,
+                                  preferred_element_type=jnp.float32)
+                sig, tau = both[:, 0], both[:, 1]
+            else:
+                eq1 = "nwb,ab->nwa" if slab.ndim == 2 else "nwb,nab->nwa"
+                t1_ = jnp.einsum(eq1, Wy, slab,
+                                 preferred_element_type=jnp.float32)
+                sig = jnp.einsum("nwa,nua->nwu", t1_.astype(wdt), Wx,
+                                 preferred_element_type=jnp.float32)
+                tau = None
+
+            alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt), 0.0)
+            if tau is not None:
+                atten = jnp.exp(-sc3 * ext[:, None, None]
+                                * jnp.maximum(tau, 0.0))[:, None]
+            else:
+                atten = 1.0
+            col = albedo[:, :, None, None] * (l_col * atten + l_amb)
+            a4 = alpha[:, None]
+            Cf = Cf + (T * alpha)[:, None] * col
+            Cb = a4 * col + (1.0 - a4) * Cb
+            T = T * (1.0 - alpha)
+            return Cf, Cb, T
+
+        Cf0 = jnp.zeros((c, 3, RP, RP), jnp.float32)
+        Cb0 = jnp.zeros((c, 3, RP, RP), jnp.float32)
+        T0 = jnp.ones((c, RP, RP), jnp.float32)
+        Cf, Cb, T = jax.lax.fori_loop(0, S, step, (Cf0, Cb0, T0))
+        Csel = jnp.where((szn >= 0)[:, None, None, None], Cf, Cb)
+        img = jnp.concatenate([Csel, T[:, None]], axis=1)  # [c,4,RP,RP]
+        # invalid particles contribute the OVER identity
+        ident = jnp.concatenate([jnp.zeros((c, 3, RP, RP), jnp.float32),
+                                 jnp.ones((c, 1, RP, RP), jnp.float32)], 1)
+        img = jnp.where(valid[:, None, None, None], img, ident)
+        return img.astype(wdt)
+
+    chunk = max(min(cfg.render.warp_chunk, N), 1)
+    while N % chunk:
+        chunk -= 1
+    nc = N // chunk
+    args = (particles.pos.astype(jnp.float32),
+            particles.size.astype(jnp.float32),
+            particles.albedo.astype(jnp.float32), particles.vol_idx,
+            geom["rx_u"], geom["ry_w"], geom["szn"], geom["scale"],
+            geom["valid"])
+
+    def reshape(x):
+        return x.reshape((nc, chunk) + x.shape[1:])
+
+    if nc > 1:
+        imgs = jax.lax.map(chunk_fn, tuple(reshape(a) for a in args))
+        return imgs.reshape((N,) + imgs.shape[2:])
+    return chunk_fn(args)
+
+
+def _shift_interp(img, delta, K, axis):
+    """out[..] = (1-f) * img[shifted by d] + f * img[shifted by d+1] where
+    d = floor(delta) summed over static shifts d in [-K, K).  ``axis`` is
+    the image axis being shifted (2 = rows/w, 3 = cols/u for [c,4,R,R]).
+    delta: [c, RP(w), RP(u)] fp32, already edge-clamped so that
+    index + delta stays inside [0, RP-1) — the zero padding below is
+    never actually sampled.  Math in fp32 regardless of image dtype."""
+    d0 = jnp.floor(delta)
+    fr = (delta - d0)[:, None]                            # [c,1,RP,RP]
+    pads = [(0, 0), (0, 0), (0, 0), (0, 0)]
+    pads[axis] = (K, K + 1)
+    pad = jnp.pad(img.astype(jnp.float32), pads)
+    RP = img.shape[axis]
+    out = jnp.zeros(img.shape, jnp.float32)
+    for d in range(-K, K):
+        idx = [slice(None)] * 4
+        idx[axis] = slice(K + d, K + d + RP)
+        lo = pad[tuple(idx)]
+        idx[axis] = slice(K + d + 1, K + d + 1 + RP)
+        hi = pad[tuple(idx)]
+        m = (d0 == d).astype(jnp.float32)[:, None]
+        out = out + m * ((1.0 - fr) * lo + fr * hi)
+    return out
+
+
+def _signed_inv_spacing(coord):
+    """1 / (coord[i+1] - coord[i]) with the last spacing extrapolated and
+    the magnitude floored (sign preserved).  coord: [c, RP] fp32."""
+    diff = jnp.diff(coord, append=coord[:, -1:] * 2 - coord[:, -2:-1],
+                    axis=1)
+    return (jnp.where(diff >= 0, 1.0, -1.0)
+            / jnp.maximum(jnp.abs(diff), 1e-12))
+
+
+def _edge_clamped_shift(raw, K, RP, axis_idx):
+    """Clamp the fan shift to [-K, K-1e-3] and so that index + shift stays
+    in [0, RP-1); returns (clamped shift, clamp count contribution mask).
+    ``axis_idx``: broadcastable index vector along the shifted axis."""
+    clamped = (raw < -K) | (raw > K - 1e-3)
+    du = jnp.clip(raw, -K, K - 1e-3)
+    du = jnp.maximum(du, -axis_idx)
+    du = jnp.minimum(du, (RP - 1.0 - 1e-3) - axis_idx)
+    return du, clamped
+
+
+def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
+    """Fan correction: resample each particle image from grid columns to
+    true pixel rays (and rows, for yawed cameras).  Returns (warped
+    images, shift_clamped count)."""
+    r = cfg.render
+    RP = r.warp_rect
+    K = r.warp_shift_max
+    W, H = r.width, r.height
+    proj = cfg.camera.projection
+    N = images.shape[0]
+    row_fan = needs_row_fan(cfg)
+
+    def chunk_fn(args):
+        img, sx0, sy0, px_c, py_c, rx_u, ry_w, valid = args
+        c = img.shape[0]
+        ii = jnp.arange(RP, dtype=jnp.float32)
+        pxi = sx0[:, None, None].astype(jnp.float32) + ii[None, None, :]
+        pyj = sy0[:, None, None].astype(jnp.float32) + ii[None, :, None]
+        pxi, pyj = jnp.broadcast_to(pxi, (c, RP, RP)), \
+            jnp.broadcast_to(pyj, (c, RP, RP))
+        rx_p, ry_p = ray_coords(camera, pxi, pyj, W, H, proj)
+
+        iif = jnp.arange(RP, dtype=jnp.float32)
+        du_raw = (rx_p - rx_u[:, None, :]) \
+            * _signed_inv_spacing(rx_u)[:, None, :]
+        du, clampx = _edge_clamped_shift(du_raw, K, RP,
+                                         iif[None, None, :])
+        clamp_total = jnp.sum((valid[:, None, None] & clampx)
+                              .astype(jnp.int32))
+        out = _shift_interp(img, du, K, axis=3)
+
+        if row_fan:
+            dw_raw = (ry_p - ry_w[:, :, None]) \
+                * _signed_inv_spacing(ry_w)[:, :, None]
+            dw, clampy = _edge_clamped_shift(dw_raw, K, RP,
+                                             iif[None, :, None])
+            clamp_total = clamp_total + jnp.sum(
+                (valid[:, None, None] & clampy).astype(jnp.int32))
+            out = _shift_interp(out, dw, K, axis=2)
+        return out, clamp_total
+
+    chunk = max(min(cfg.render.warp_chunk, N), 1)
+    while N % chunk:
+        chunk -= 1
+    nc = N // chunk
+    args = (images, geom["sx0"], geom["sy0"], geom["px_c"], geom["py_c"],
+            geom["rx_u"], geom["ry_w"], geom["valid"])
+
+    def reshape(x):
+        return x.reshape((nc, chunk) + x.shape[1:])
+
+    if nc > 1:
+        out, clamps = jax.lax.map(chunk_fn, tuple(reshape(a) for a in args))
+        return out.reshape((N,) + out.shape[2:]), jnp.sum(clamps)
+    return chunk_fn(args)
+
+
+def _composite(images, geom, cfg: SceneConfig, y_start, h_local):
+    """Depth-ordered OVER of per-particle windows onto a padded canvas.
+    Returns [h_local, W, 4] fp32 (rgb premultiplied over background,
+    alpha = 1 - T)."""
+    r = cfg.render
+    RP = r.warp_rect
+    W = r.width
+    N = images.shape[0]
+    Hc = h_local + 2 * RP
+    Wc = W + 2 * RP
+
+    z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
+    order = jnp.argsort(z, stable=True).astype(jnp.int32)
+    oy_all = jnp.clip(geom["sy0"] - jnp.asarray(y_start, jnp.int32) + RP,
+                      0, Hc - RP)
+    ox_all = jnp.clip(geom["sx0"] + RP, 0, Wc - RP)
+
+    def body(k, carry):
+        C, T = carry
+        p = order[k]
+        img = jax.lax.dynamic_slice(
+            images, (p, 0, 0, 0),
+            (1, 4, RP, RP))[0].astype(jnp.float32)
+        y = oy_all[p]
+        x = ox_all[p]
+        Cw = jax.lax.dynamic_slice(C, (0, y, x), (3, RP, RP))
+        Tw = jax.lax.dynamic_slice(T, (y, x), (RP, RP))
+        Cw = Cw + Tw[None] * img[:3]
+        Tw = Tw * img[3]
+        C = jax.lax.dynamic_update_slice(C, Cw, (0, y, x))
+        T = jax.lax.dynamic_update_slice(T, Tw, (y, x))
+        return C, T
+
+    C0 = jnp.zeros((3, Hc, Wc), jnp.float32)
+    T0 = jnp.ones((Hc, Wc), jnp.float32)
+    C, T = jax.lax.fori_loop(0, N, body, (C0, T0))
+
+    C = C[:, RP:RP + h_local, RP:RP + W]
+    T = T[RP:RP + h_local, RP:RP + W]
+    bg = jnp.asarray(r.background, jnp.float32)[:, None, None]
+    rgb = C + T[None] * bg
+    return jnp.concatenate([rgb, (1.0 - T)[None]], axis=0) \
+        .transpose(1, 2, 0)                                # [h,W,4]
+
+
+def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
+                cfg: SceneConfig, light_volumes=None, y_start=0,
+                h_local: int | None = None):
+    """Render one frame (or a horizontal pixel band, the shardable unit)
+    with the warp engine.  Returns ([h_local, W, 4] f32, stats)."""
+    r = cfg.render
+    if h_local is None:
+        h_local = r.height
+    geom, stats = _grid_geometry(particles, camera, cfg, y_start, h_local)
+    if r.warp_pallas:
+        from volq.render.kernel import march_warp_pallas, composite_pallas
+        images, shift_clamped = march_warp_pallas(
+            particles, volumes, camera, light, cfg, geom,
+            light_volumes=light_volumes)
+        image = composite_pallas(images, geom, cfg, y_start, h_local)
+    else:
+        images = _march_images(particles, volumes, camera, light, cfg,
+                               geom, light_volumes=light_volumes)
+        images, shift_clamped = _warp_images(images, particles, camera,
+                                             cfg, geom)
+        image = _composite(images, geom, cfg, y_start, h_local)
+    stats = dict(stats, shift_clamped=shift_clamped)
+    return image, stats

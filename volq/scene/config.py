@@ -76,6 +76,8 @@ class RenderConfig:
     engine: str = "exact"      # "exact" (per-ray gather march, the
                                # semantics-of-record path) | "slab"
                                # (gather-free z-plane/MXU path, render/slab.py)
+                               # | "warp" (per-particle shear-warp impostor
+                               # path, render/warp.py — the fast path)
     steps: int = 32            # primary march steps per (ray, particle)
     light_steps: int = 0       # secondary light-march steps (0 => unshadowed)
     slab_fp32: bool = True     # slab engine: fp32 weights/slabs (False:
@@ -99,6 +101,19 @@ class RenderConfig:
                                # beyond this view depth; 0 disables
     near_fade_end: float = 0.0    # fully transparent at/inside this depth
                                # (culled from binning)
+    warp_rect: int = 128       # warp engine: per-particle image rect in
+                               # pixels (RP x RP); particles with a larger
+                               # screen footprint are clipped (counted in
+                               # stats as rect_overflow)
+    warp_shift_max: int = 8    # warp engine: max fan-correction shift in
+                               # grid cells (K); larger shifts clamp
+                               # (counted as shift_clamped)
+    warp_chunk: int = 64       # warp engine: particles marched per
+                               # lax.map chunk
+    warp_fp32: bool = True     # warp engine: fp32 weights/slabs (False:
+                               # bf16 march + bf16-quantized images)
+    warp_pallas: bool = False  # warp engine: use the Pallas TPU kernels
+                               # (render/kernel.py) for march + composite
     tile_h: int = 8            # screen tile shape; (8, 128) is VPU-native
     tile_w: int = 128
     max_tiles_per_particle: int = 64   # MT: candidate pairs per particle
@@ -129,9 +144,9 @@ class SceneConfig:
                 f"{r.tile_w}x{r.tile_h}")
         if self.camera.projection not in ("persp", "ortho"):
             raise ValueError(f"bad projection {self.camera.projection!r}")
-        if r.engine not in ("exact", "slab"):
+        if r.engine not in ("exact", "slab", "warp"):
             raise ValueError(f"bad render engine {r.engine!r} "
-                             "(expected 'exact' or 'slab')")
+                             "(expected 'exact', 'slab' or 'warp')")
 
 
 # ---------------------------------------------------------------------------
