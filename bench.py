@@ -25,11 +25,11 @@ def main():
     state, camera, light = setup(cfg)
 
     # compile + settle into the steady state of the live loop
-    for _ in range(3):
+    for _ in range(6):
         state, image, stats = frame(state, camera, light, cfg)
     _sync(image)
 
-    n = 10
+    n = 30
     t0 = time.perf_counter()
     for _ in range(n):
         state, image, stats = frame(state, camera, light, cfg)

@@ -19,7 +19,11 @@ def _compare_sharded(cfg, n_frames=3):
     assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
     mesh = make_mesh(8)
     state, camera, light = setup(cfg)
-    sh_state = shard_state(state, mesh)
+    # independent state for the sharded run: engine.loop.frame DONATES its
+    # state, and on the CPU backend device_put replication may alias the
+    # same host buffer, so sharing one initial state would leave sh_state
+    # pointing at donated (deleted) storage
+    sh_state = shard_state(setup(cfg)[0], mesh)
     sh_frame = sharded_frame_fn(cfg, mesh)
 
     for _ in range(n_frames):

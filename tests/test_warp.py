@@ -181,6 +181,57 @@ def test_warp_matches_slab_renderer_closely(tiny_cfg):
     assert psnr > 35.0, f"warp vs slab PSNR {psnr:.1f} dB"
 
 
+def test_warp_pallas_matches_oracle(tiny_cfg):
+    """The Pallas kernels (render/kernel.py, interpret mode on CPU) must
+    match the oracle exactly like the XLA path."""
+    cfg = _warpify(tiny_cfg, warp_pallas=True)
+    state, camera, light = setup(cfg)
+    d, img, stats = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_pallas_backward_rays_and_lit(tiny_lit_cfg):
+    """Backward rays exercise the per-particle step-order flip; lighting
+    exercises the in-kernel light sampling."""
+    cfg = dataclasses.replace(
+        _warpify(tiny_lit_cfg, warp_pallas=True),
+        camera=CameraConfig(eye=(0.2, 0.4, 5.0), look_at=(0, 0, 0)))
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+
+
+def test_warp_pallas_matches_xla_path(tiny_cfg):
+    """Pallas and XLA warp paths share semantics: near-identical images."""
+    state, camera, light = setup(tiny_cfg)
+    img_x, _ = render_only(state, camera, light, _warpify(tiny_cfg))
+    img_p, _ = render_only(state, camera, light,
+                           _warpify(tiny_cfg, warp_pallas=True))
+    assert np.abs(np.asarray(img_x, np.float64)
+                  - np.asarray(img_p, np.float64)).max() < 1e-5
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
+    """Depth-sorted megachunking is an execution strategy, not a
+    semantics change: chunked and single-pass renders must agree (tiny
+    float drift only — the composite order is identical)."""
+    state, camera, light = setup(tiny_cfg)
+    one = _warpify(tiny_cfg, warp_pallas=pallas)
+    many = _warpify(tiny_cfg, warp_pallas=pallas, warp_mega=2)
+    img_1, _ = render_only(state, camera, light, one)
+    img_m, _ = render_only(state, camera, light, many)
+    assert np.abs(np.asarray(img_1, np.float64)
+                  - np.asarray(img_m, np.float64)).max() < 1e-6
+    d, img, _ = _diff(many, state, camera, light)
+    assert d < TOL
+
+
 def test_warp_near_fade_and_straddle_culling():
     """A particle straddling the eye z-plane is culled (counted), and the
     near-fade path matches the oracle."""

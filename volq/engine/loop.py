@@ -33,10 +33,15 @@ def _light_volumes(state, light, cfg: SceneConfig):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def frame(state: SceneState, camera, light, cfg: SceneConfig,
           light_volumes=None):
     """Advance one frame. Returns (new_state, image [H,W,4], stats).
+
+    ``state`` is DONATED: without donation XLA copies the (possibly
+    multi-GB) volume bank into the returned state every frame — measured
+    13.7 ms/frame on config 3.  Callers must rebind, i.e.
+    ``state, img, st = frame(state, ...)``.
 
     ``light_volumes``: pass a pre-baked light-transmittance bank for
     STATIC scenes (cached_light_volumes) to skip the per-frame re-bake;
@@ -81,7 +86,13 @@ def setup(cfg: SceneConfig):
     """Config -> (state, camera, light). The Start() analogue."""
     camera = build_camera(cfg.camera, cfg.render.width, cfg.render.height)
     light = build_light(cfg.light)
-    return init_scene(cfg), camera, light
+    state = init_scene(cfg)
+    # `frame` donates the state; XLA CSE can alias identical constant
+    # leaves (e.g. two all-zero arrays) to ONE buffer, which donation
+    # then rejects ("donate the same buffer twice") — uniquify them.
+    state = jax.tree.map(lambda a: a.copy() if hasattr(a, "copy") else a,
+                         state)
+    return state, camera, light
 
 
 def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,

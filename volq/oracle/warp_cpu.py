@@ -287,8 +287,15 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             continue
         wi = img[:, fy0 - y0:fy1 - y0, fx0 - x0:fx1 - x0]
         Tw = T[fy0:fy1, fx0:fx1]
-        C[fy0:fy1, fx0:fx1] += (Tw[None] * wi[:3]).transpose(1, 2, 0)
-        T[fy0:fy1, fx0:fx1] = Tw * wi[3]
+        Cn = C[fy0:fy1, fx0:fx1] + (Tw[None] * wi[:3]).transpose(1, 2, 0)
+        Tn = Tw * wi[3]
+        if quant:
+            # fast mode stores the canvas bf16 on device: mirror the
+            # per-particle rounding of the updated window
+            Cn = _q16(Cn)
+            Tn = _q16(Tn)
+        C[fy0:fy1, fx0:fx1] = Cn
+        T[fy0:fy1, fx0:fx1] = Tn
 
     bg = np.asarray(r.background, np.float64)
     return np.concatenate([C + T[..., None] * bg, (1.0 - T)[..., None]],

@@ -525,45 +525,57 @@ def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
     return chunk_fn(args)
 
 
-def _composite(images, geom, cfg: SceneConfig, y_start, h_local):
-    """Depth-ordered OVER of per-particle windows onto a padded canvas.
-    Returns [h_local, W, 4] fp32 (rgb premultiplied over background,
-    alpha = 1 - T)."""
+def _canvas_init(cfg: SceneConfig, h_local):
+    """XLA-path padded canvas (C [3,Hc,Wc], T [Hc,Wc]); fast mode stores
+    it bf16 (the Pallas kernel does the same; the oracle mirrors the
+    per-particle rounding)."""
     r = cfg.render
     RP = r.warp_rect
-    W = r.width
-    N = images.shape[0]
+    cdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
     Hc = h_local + 2 * RP
-    Wc = W + 2 * RP
+    Wc = r.width + 2 * RP
+    return (jnp.zeros((3, Hc, Wc), cdt), jnp.ones((Hc, Wc), cdt))
 
-    z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
-    order = jnp.argsort(z, stable=True).astype(jnp.int32)
+
+def _composite_chunk(canvas, images, geom, cfg: SceneConfig, y_start,
+                     h_local):
+    """OVER a chunk of ALREADY depth-ordered per-particle windows onto
+    the carried canvas."""
+    r = cfg.render
+    RP = r.warp_rect
+    C0, T0 = canvas
+    cdt = C0.dtype
+    Hc, Wc = T0.shape
+    n = images.shape[0]
     oy_all = jnp.clip(geom["sy0"] - jnp.asarray(y_start, jnp.int32) + RP,
                       0, Hc - RP)
     ox_all = jnp.clip(geom["sx0"] + RP, 0, Wc - RP)
 
     def body(k, carry):
         C, T = carry
-        p = order[k]
         img = jax.lax.dynamic_slice(
-            images, (p, 0, 0, 0),
-            (1, 4, RP, RP))[0].astype(jnp.float32)
-        y = oy_all[p]
-        x = ox_all[p]
-        Cw = jax.lax.dynamic_slice(C, (0, y, x), (3, RP, RP))
-        Tw = jax.lax.dynamic_slice(T, (y, x), (RP, RP))
-        Cw = Cw + Tw[None] * img[:3]
-        Tw = Tw * img[3]
-        C = jax.lax.dynamic_update_slice(C, Cw, (0, y, x))
-        T = jax.lax.dynamic_update_slice(T, Tw, (y, x))
+            images, (k, 0, 0, 0), (1, 4, RP, RP))[0].astype(jnp.float32)
+        y = oy_all[k]
+        x = ox_all[k]
+        Cw = jax.lax.dynamic_slice(C, (0, y, x),
+                                   (3, RP, RP)).astype(jnp.float32)
+        Tw = jax.lax.dynamic_slice(T, (y, x), (RP, RP)).astype(jnp.float32)
+        Cn = (Cw + Tw[None] * img[:3]).astype(cdt)
+        Tn = (Tw * img[3]).astype(cdt)
+        C = jax.lax.dynamic_update_slice(C, Cn, (0, y, x))
+        T = jax.lax.dynamic_update_slice(T, Tn, (y, x))
         return C, T
 
-    C0 = jnp.zeros((3, Hc, Wc), jnp.float32)
-    T0 = jnp.ones((Hc, Wc), jnp.float32)
-    C, T = jax.lax.fori_loop(0, N, body, (C0, T0))
+    return jax.lax.fori_loop(0, n, body, (C0, T0))
 
-    C = C[:, RP:RP + h_local, RP:RP + W]
-    T = T[RP:RP + h_local, RP:RP + W]
+
+def _canvas_finish(C, T, cfg: SceneConfig, h_local):
+    """Crop the padded canvas and compose over the background.
+    Works for both canvas layouts (origin is at (RP, RP) in each)."""
+    r = cfg.render
+    RP = r.warp_rect
+    C = C[:, RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
+    T = T[RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
     bg = jnp.asarray(r.background, jnp.float32)[:, None, None]
     rgb = C + T[None] * bg
     return jnp.concatenate([rgb, (1.0 - T)[None]], axis=0) \
@@ -574,22 +586,65 @@ def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
                 cfg: SceneConfig, light_volumes=None, y_start=0,
                 h_local: int | None = None):
     """Render one frame (or a horizontal pixel band, the shardable unit)
-    with the warp engine.  Returns ([h_local, W, 4] f32, stats)."""
+    with the warp engine.  Returns ([h_local, W, 4] f32, stats).
+
+    Particles are processed in depth-sorted MEGACHUNKS of at most
+    ``warp_mega`` (march a chunk -> composite it onto the carried canvas
+    -> next chunk), bounding the [chunk, 4, RP, RP] image buffer — 16k
+    particles at 4K would otherwise need a multi-GB buffer."""
     r = cfg.render
     if h_local is None:
         h_local = r.height
+    N = particles.age.shape[0]
     geom, stats = _grid_geometry(particles, camera, cfg, y_start, h_local)
+
+    z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
+    order = jnp.argsort(z, stable=True).astype(jnp.int32)
+    C = N
+    if r.warp_mega > 0:
+        C = min(r.warp_mega, N)
+        while N % C:
+            C -= 1
+    n_mega = N // C
+
     if r.warp_pallas:
-        from volq.render.kernel import march_warp_pallas, composite_pallas
-        images, shift_clamped = march_warp_pallas(
-            particles, volumes, camera, light, cfg, geom,
-            light_volumes=light_volumes)
-        image = composite_pallas(images, geom, cfg, y_start, h_local)
+        from volq.render.kernel import (march_warp_pallas, canvas_init_pallas,
+                                        composite_chunk_pallas)
+        canvas = canvas_init_pallas(cfg, h_local)
     else:
-        images = _march_images(particles, volumes, camera, light, cfg,
-                               geom, light_volumes=light_volumes)
-        images, shift_clamped = _warp_images(images, particles, camera,
-                                             cfg, geom)
-        image = _composite(images, geom, cfg, y_start, h_local)
+        canvas = _canvas_init(cfg, h_local)
+
+    shift_clamped = jnp.int32(0)
+    for m in range(n_mega):
+        if n_mega == 1:
+            parts_m, geom_m = particles, geom
+            ids = order
+        else:
+            ids = jax.lax.dynamic_slice(order, (m * C,), (C,))
+            parts_m = jax.tree.map(lambda a: a[ids], particles)
+            geom_m = {k: v[ids] for k, v in geom.items()}
+        if r.warp_pallas:
+            images, sc = march_warp_pallas(
+                parts_m, volumes, camera, light, cfg, geom_m,
+                light_volumes=light_volumes)
+            canvas = composite_chunk_pallas(
+                canvas, images, geom_m, cfg, y_start, h_local,
+                order=(order if n_mega == 1 else None))
+        else:
+            if n_mega == 1:
+                # single chunk: gather into depth order once, here
+                parts_m = jax.tree.map(lambda a: a[order], particles)
+                geom_m = {k: v[order] for k, v in geom.items()}
+            images = _march_images(parts_m, volumes, camera, light, cfg,
+                                   geom_m, light_volumes=light_volumes)
+            images, sc = _warp_images(images, parts_m, camera, cfg, geom_m)
+            canvas = _composite_chunk(canvas, images, geom_m, cfg,
+                                      y_start, h_local)
+        shift_clamped = shift_clamped + sc
+
+    if r.warp_pallas:
+        image = _canvas_finish(canvas[:3], canvas[3], cfg, h_local)
+    else:
+        image = _canvas_finish(canvas[0], canvas[1], cfg, h_local)
     stats = dict(stats, shift_clamped=shift_clamped)
     return image, stats

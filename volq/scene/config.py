@@ -110,6 +110,10 @@ class RenderConfig:
                                # (counted as shift_clamped)
     warp_chunk: int = 64       # warp engine: particles marched per
                                # lax.map chunk
+    warp_mega: int = 0         # warp engine: particles per depth-sorted
+                               # march+composite megachunk (bounds the
+                               # [chunk, 4, RP, RP] image buffer; 0 = all
+                               # at once)
     warp_fp32: bool = True     # warp engine: fp32 weights/slabs (False:
                                # bf16 march + bf16-quantized images)
     warp_pallas: bool = False  # warp engine: use the Pallas TPU kernels
@@ -207,8 +211,9 @@ def c2() -> SceneConfig:
                               life_min=1e4, life_max=1e4,
                               albedo_base=(1.0, 0.9, 0.8), albedo_var=0.35),
         camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
-        render=RenderConfig(width=512, height=512, steps=32, engine="slab",
-                            slab_fp32=False,
+        render=RenderConfig(width=512, height=512, steps=32, engine="warp",
+                            warp_fp32=False, warp_rect=192, warp_chunk=64,
+                            warp_pallas=True,
                             max_tiles_per_particle=128, max_pairs=4096,
                             max_pairs_per_tile=48, density_scale=9.0),
     )
@@ -231,8 +236,8 @@ def c3() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
-                            engine="slab", slab_fp32=False,
-                            slab_grouped=True, slab_particle_chunk=64,
+                            engine="warp", warp_fp32=False, warp_rect=160,
+                            warp_chunk=64, warp_pallas=True,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
                             near_fade_end=6.0,
                             max_tiles_per_particle=96, max_pairs=73728,
@@ -255,8 +260,8 @@ def c4() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
-                            engine="slab", slab_fp32=False,
-                            slab_grouped=True, slab_particle_chunk=128,
+                            engine="warp", warp_fp32=False, warp_rect=160,
+                            warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=6.5,
                             max_tiles_per_particle=64, max_pairs=163840,
@@ -281,8 +286,8 @@ def c5() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 4.0, -19.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
-                            engine="slab", slab_fp32=False,
-                            slab_grouped=True, slab_particle_chunk=256,
+                            engine="warp", warp_fp32=False, warp_rect=224,
+                            warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=7.0,
                             max_tiles_per_particle=32, max_pairs=262144,
