@@ -24,22 +24,23 @@ def bench_config(name: str, n_frames: int = 20):
     state, camera, light = setup(cfg)
 
     t0 = time.perf_counter()
-    state2, image, stats = frame(state, camera, light, cfg)
+    state, image, stats = frame(state, camera, light, cfg)
     _sync(image)
     compile_s = time.perf_counter() - t0
 
-    for _ in range(3):
-        state2, image, stats = frame(state2, camera, light, cfg)
+    for _ in range(5):
+        state, image, stats = frame(state, camera, light, cfg)
     _sync(image)
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        state2, image, stats = frame(state2, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg)
     _sync(image)
     frame_s = (time.perf_counter() - t0) / n_frames
 
-    # sim-only rate
+    # sim-only rate (fresh state: `frame` donated the one above)
     jstep = jax.jit(sim_step, static_argnames=("cfg",))
-    s = jstep(state, cfg)
+    s = setup(cfg)[0]
+    s = jstep(s, cfg)
     _sync(s.particles.pos)
     t0 = time.perf_counter()
     for _ in range(50):
@@ -63,7 +64,73 @@ def bench_config(name: str, n_frames: int = 20):
     }
 
 
+def bench_c5_shard_slice(n_frames: int = 10):
+    """The per-chip slice of BASELINE config 5 on ONE chip: the exact
+    per-shard body of the 8-way binary-swap frame — sharded 4D re-bake
+    (bank/8 entries), sim, and march+composite of the shard's 1/8 depth
+    slice over the full 4K canvas.  (The swap combine itself needs the
+    mesh; it moves ~1.5x one canvas over ICI.)  The resulting Mrays/s is
+    the per-chip number that predicts v5e-8 mesh throughput."""
+    import jax
+    import jax.numpy as jnp
+    from volq.scene.config import PRESETS
+    from volq.engine.loop import setup, _sync
+    from volq.render.warp import render_warp_canvas, _canvas_finish
+    from volq.sim.step import sim_step
+    from volq.volume.bake import bake_bank_4d
+
+    cfg = PRESETS["c5"]()
+    state, camera, light = setup(cfg)
+    n_shards = 8
+    n_p = cfg.n_particles // n_shards
+    v = cfg.volume
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def shard_frame(state):
+        state = sim_step(state, cfg)
+        ids_local = jnp.arange(v.bank_size // n_shards, dtype=jnp.int32)
+        local = bake_bank_4d(v.bank_size, v.size, v.seed, state.time,
+                             octaves=v.octaves, noise_scale=v.noise_scale,
+                             time_scale=v.time_scale, cutoff=v.cutoff,
+                             edge=v.edge, ids=ids_local)
+        # stand-in for the all_gather: tile the local bake to full size
+        volumes = jnp.tile(local, (n_shards, 1, 1, 1))
+        state = state._replace(volumes=volumes)
+        p = state.particles
+        z = jnp.where(p.age < p.lifetime,
+                      (p.pos - camera.eye) @ camera.fwd, jnp.inf)
+        ids = jnp.argsort(z, stable=True).astype(jnp.int32)[:n_p]
+        parts_k = jax.tree.map(lambda a: a[ids], p)
+        canvas, stats = render_warp_canvas(parts_k, volumes, camera,
+                                           light, cfg)
+        img = _canvas_finish(canvas[:3], canvas[3], cfg,
+                             cfg.render.height)
+        return state, img, stats
+
+    state, image, stats = shard_frame(state)
+    _sync(image)
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        state, image, stats = shard_frame(state)
+    _sync(image)
+    dt = (time.perf_counter() - t0) / n_frames
+    rays = cfg.render.width * cfg.render.height
+    return {
+        "config": "c5 per-chip shard slice (16k/8 particles, 4K, "
+                  "animated bake, lit)",
+        "frame_ms": round(dt * 1e3, 3),
+        "mrays_per_chip_s": round(rays / dt / 1e6, 1),
+        "stats": {k: int(v_) for k, v_ in
+                  __import__("jax").device_get(stats).items()},
+    }
+
+
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["c1", "c2", "c3", "c4"]
+    names = sys.argv[1:] or ["c1", "c2", "c3", "c4", "c5shard"]
     for n in names:
-        print(json.dumps(bench_config(n)), flush=True)
+        if n == "c5shard":
+            print(json.dumps(bench_c5_shard_slice()), flush=True)
+        else:
+            print(json.dumps(bench_config(n)), flush=True)

@@ -62,10 +62,11 @@ def test_sharded_animated_rebake(tiny_cfg):
     _compare_sharded(cfg, n_frames=2)
 
 
-def test_sharded_warp_row_bands_match_single_device(tiny_cfg):
-    """The warp engine shards by pixel ROW bands (no tile lists): the
-    sharded frame must match single-chip, including lighting (baked
-    light volumes replicated) and live emission."""
+def test_sharded_warp_binary_swap_matches_single_device(tiny_cfg):
+    """The warp engine distributes via depth-sliced binary-swap
+    compositing (each shard marches only its depth slice; canvases
+    OVER-combine across ICI): the sharded frame must match single-chip,
+    including lighting (baked light volumes replicated) and emission."""
     cfg = dataclasses.replace(
         tiny_cfg, n_particles=16,
         render=dataclasses.replace(tiny_cfg.render, engine="warp",

@@ -126,13 +126,16 @@ def test_warp_lit_matches_oracle(tiny_lit_cfg):
 
 
 def test_warp_bf16_matches_quantized_oracle(tiny_cfg):
-    """warp_fp32=False: bf16 weights/slabs/intermediates/images on device;
-    the oracle quantizes identically."""
-    cfg = _warpify(tiny_cfg, warp_fp32=False)
+    """warp_fp32=False + bf16 canvas: bf16 weights/slabs/intermediates/
+    images/canvas on device; the oracle quantizes identically.  Budget:
+    values landing within a backend fp32-ulp of a bf16 rounding boundary
+    can round differently, so bf16 modes are held to a few bf16 ulps
+    (2^-8), not the fp32 budget (bench/device_diff.py)."""
+    cfg = _warpify(tiny_cfg, warp_fp32=False, warp_canvas_fp32=False)
     state, camera, light = setup(cfg)
     d, img, _ = _diff(cfg, state, camera, light)
     assert img[..., 3].max() > 0.05
-    assert d < TOL, f"max diff {d}"
+    assert d < 4.0 / 256.0, f"max diff {d}"
 
 
 def test_warp_row_band_rendering(tiny_cfg):

@@ -24,7 +24,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from volq.core.types import Particles, SceneState
 from volq.dist.mesh import AXIS
-from volq.render import render_frame_tiles, render_warp, assemble_image
+from volq.render import render_frame_tiles, assemble_image
+from volq.render.warp import render_warp_canvas, _canvas_finish
 from volq.scene.config import SceneConfig
 from volq.sim.step import sim_step
 from volq.volume.bake import bake_bank_4d
@@ -33,6 +34,57 @@ from volq.volume.lightbake import bake_light_volumes, dominant_axis
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _over(front, back):
+    """Associative OVER of packed canvases [4, h, w] (C premult, T)."""
+    C = front[:3] + front[3:4] * back[:3]
+    T = front[3:4] * back[3:4]
+    return jnp.concatenate([C, T], axis=0)
+
+
+def _binary_swap(canvas, idx, n_shards: int):
+    """Binary-swap parallel compositing: each shard enters with the
+    canvas of ITS depth slice (full frame) and leaves with its
+    1/n_shards contiguous ROW RANGE of the fully composited canvas.
+    log2(n) rounds; each round exchanges half the current region with
+    the partner across one index bit and OVER-combines (the lower index
+    holds the NEARER depth slice, hence the front)."""
+    _, Hc, Wc = canvas.shape
+    nr = n_shards.bit_length() - 1
+    Hp = _cdiv(Hc, n_shards) * n_shards
+    if Hp != Hc:
+        pad = jnp.concatenate(
+            [jnp.zeros((3, Hp - Hc, Wc), canvas.dtype),
+             jnp.ones((1, Hp - Hc, Wc), canvas.dtype)], axis=0)
+        canvas = jnp.concatenate([canvas, pad], axis=1)
+    region = canvas
+
+    # OVER is associative but NOT commutative: round r must merge
+    # depth-ADJACENT groups, i.e. partners differ in bit r (masks
+    # ascending).  The kept row half is forced to the same bit, so the
+    # final ownership is bit-REVERSED in the shard index — the closing
+    # ppermute (bit reversal is an involution) restores natural order.
+    for rnd in range(nr):
+        mask = 1 << rnd
+        size = region.shape[1] // 2
+        first = region[:, :size]
+        second = region[:, size:2 * size]
+        bit = (idx >> rnd) & 1
+        am_first = (bit == 0)
+        keep = jnp.where(am_first, first, second)
+        send = jnp.where(am_first, second, first)
+        recv = jax.lax.ppermute(
+            send, AXIS, perm=[(i, i ^ mask) for i in range(n_shards)])
+        front = jnp.where(am_first, keep, recv)
+        back = jnp.where(am_first, recv, keep)
+        region = _over(front, back)
+
+    def bitrev(x):
+        return int(format(x, f"0{nr}b")[::-1], 2) if nr else x
+
+    return jax.lax.ppermute(
+        region, AXIS, perm=[(i, bitrev(i)) for i in range(n_shards)])
 
 
 def state_specs(sharded_particles: bool):
@@ -67,10 +119,12 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
     if cfg.n_particles % n_shards:
         raise ValueError(f"n_particles {cfg.n_particles} must divide by "
                          f"mesh size {n_shards}")
-    if warp and r.height % n_shards:
-        raise ValueError(f"warp engine: height {r.height} must divide by "
-                         f"mesh size {n_shards} (row-band sharding)")
-    h_local = r.height // n_shards if warp else 0
+    if warp and (n_shards & (n_shards - 1)):
+        raise ValueError(f"warp engine: mesh size {n_shards} must be a "
+                         "power of two (binary-swap compositing)")
+    if warp and not r.warp_canvas_fp32:
+        raise ValueError("warp engine: the sharded binary-swap combine "
+                         "requires warp_canvas_fp32=True")
     v = cfg.volume
     bake_sharded = v.animated and v.bank_size % n_shards == 0
 
@@ -110,22 +164,37 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
                 axis=dominant_axis(cfg.light.direction))
 
         if warp:
-            # Ray-DP for the warp engine: contiguous pixel ROW bands per
-            # shard (the warp composite is band-native; no tile lists).
-            tiles, stats = render_warp(parts_full, volumes, camera, light,
-                                       cfg, light_volumes=light_volumes,
-                                       y_start=idx * h_local,
-                                       h_local=h_local)
+            # Warp-engine distribution = classic BINARY-SWAP parallel
+            # compositing, TPU-reborn: shard the (replicated, globally
+            # depth-sorted) particle list into contiguous DEPTH SLICES —
+            # each shard marches + composites only N/n_shards particles
+            # over the full frame — then OVER-combine the canvases over
+            # ICI in log2(n) ppermute rounds, halving the owned row range
+            # each round.  OVER is associative, so the result equals the
+            # single-chip sequential composite (fp32 canvas required).
+            z = jnp.where(parts_full.age < parts_full.lifetime,
+                          (parts_full.pos - camera.eye) @ camera.fwd,
+                          jnp.inf)
+            order = jnp.argsort(z, stable=True).astype(jnp.int32)
+            n_p = cfg.n_particles // n_shards
+            ids = jax.lax.dynamic_slice(order, (idx * n_p,), (n_p,))
+            parts_k = jax.tree.map(lambda a: a[ids], parts_full)
+            canvas, stats = render_warp_canvas(
+                parts_k, volumes, camera, light, cfg,
+                light_volumes=light_volumes)
+            tiles = _binary_swap(canvas, idx, n_shards)
         else:
             tile_start = idx * tiles_local
             tiles, stats = render_frame_tiles(
                 parts_full, volumes, camera, light, cfg,
                 tile_start=tile_start, n_tiles_local=tiles_local,
                 light_volumes=light_volumes)
-        # "alive" etc. are computed from the replicated particle state
-        # (identical on every shard): pmax is the identity for them.
-        replicated = {"alive", "mt_overflow", "max_pairs_per_tile_seen",
-                      "warp_culled"}
+        # Warp stats are computed per DISJOINT depth slice: all additive,
+        # psum everything.  Tile engines compute "alive" etc. from the
+        # replicated particle state (identical on every shard): pmax is
+        # the identity for those.
+        replicated = set() if warp else {
+            "alive", "mt_overflow", "max_pairs_per_tile_seen"}
         stats = {
             k: (jax.lax.pmax(v_, AXIS) if k in replicated
                 else jax.lax.psum(v_, AXIS))
@@ -134,14 +203,19 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
         return state, tiles, stats
 
     in_specs = (state_specs(True), P(), P())
-    out_specs = (state_specs(True), P(AXIS), P())
+    out_specs = (state_specs(True),
+                 P(None, AXIS, None) if warp else P(AXIS),
+                 P())
     body = jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)
 
     @jax.jit
     def frame(state, camera, light):
         state, tiles, stats = body(state, camera, light)
-        image = tiles if warp else assemble_image(tiles, cfg)
+        if warp:
+            image = _canvas_finish(tiles[:3], tiles[3], cfg, r.height)
+        else:
+            image = assemble_image(tiles, cfg)
         return state, image, stats
 
     return frame

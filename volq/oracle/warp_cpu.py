@@ -99,9 +99,11 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     size = np.asarray(particles.size, np.float32)
     albedo = f64(particles.albedo)
     vol_idx = np.asarray(particles.vol_idx, np.int64)
-    vols = np.asarray(volumes, np.float32).astype(np.float64)
+    # slab z-lerp happens in FLOAT32 on device (before any bf16 rounding):
+    # keep the f32 volumes to mirror it exactly
+    vols = np.asarray(volumes, np.float32)
     lvols = (None if light_volumes is None
-             else np.asarray(light_volumes, np.float32).astype(np.float64))
+             else np.asarray(light_volumes, np.float32))
     V = vols.shape[-1]
     gsc = f32(V - 1)
     N = pos.shape[0]
@@ -238,13 +240,15 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             tpos = (float(zw) - o_z) * s3 > 0
             inb = iny[:, None] & inx[None, :] & tpos
 
-            slab = vol[z0] + (vol[z0 + 1] - vol[z0]) * fz_  # [V(x),V(y)]
+            # fp32 lerp, mirroring the device (then widened to f64)
+            slab = f64(vol[z0] + (vol[z0 + 1] - vol[z0]) * f32(fz_))
             gxc = np.clip(gx_u, 0, gsc)
             gyc = np.clip(gy_w, 0, gsc)
             sig = _bilin_grid(slab, gxc, gyc, quant)        # [RP(w),RP(u)]
             alpha = np.where(inb, 1.0 - np.exp(-sig * scale * dt), 0.0)
             if lvol is not None:
-                lslab = lvol[z0] + (lvol[z0 + 1] - lvol[z0]) * fz_
+                lslab = f64(lvol[z0] + (lvol[z0 + 1] - lvol[z0])
+                            * f32(fz_))
                 tau = _bilin_grid(lslab, gxc, gyc, quant)
                 atten = np.exp(-scale * float(ext)
                                * np.maximum(tau, 0.0))[None]
@@ -262,21 +266,14 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         if quant:
             img = _q16(img)
 
-        # ---- fan correction (fp32 mirror of _warp_images) ------------
-        pxi = f32(sx0[pi]) + uu
-        pyj = f32(sy0[pi]) + uu
-        PXI, PYJ = np.meshgrid(pxi, pyj)                   # [RP(j),RP(i)]
-        rx_p, ry_p = _ray_coords_np(camera, PXI, PYJ, W, H, proj)
+        # ---- fan correction (fp32 mirror of warp.fan_shifts) ----------
+        du, dw = _fan_shifts_np(camera, cfg, sx0[pi], sy0[pi],
+                                px_c[pi], py_c[pi], RP, row_fan)
         ii = np.arange(RP, dtype=np.float32)
-        du = _edge_clamped_shift_np(
-            (rx_p - rx_u[None, :]) * _signed_inv_spacing_np(rx_u)[None, :],
-            K, RP, ii[None, :])
+        du = _edge_clamped_shift_np(du, K, RP, ii[None, :])
         img = _interp_cols(img, ii[None, :] + du)
         if row_fan:
-            dw = _edge_clamped_shift_np(
-                (ry_p - ry_w[:, None]) * _signed_inv_spacing_np(ry_w)[:,
-                                                                      None],
-                K, RP, ii[:, None])
+            dw = _edge_clamped_shift_np(dw, K, RP, ii[:, None])
             img = _interp_rows(img, ii[:, None] + dw)
 
         # ---- composite the rect onto the frame ------------------------
@@ -289,9 +286,9 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         Tw = T[fy0:fy1, fx0:fx1]
         Cn = C[fy0:fy1, fx0:fx1] + (Tw[None] * wi[:3]).transpose(1, 2, 0)
         Tn = Tw * wi[3]
-        if quant:
-            # fast mode stores the canvas bf16 on device: mirror the
-            # per-particle rounding of the updated window
+        if not r.warp_canvas_fp32:
+            # the device stores the canvas bf16: mirror the per-particle
+            # rounding of the updated window
             Cn = _q16(Cn)
             Tn = _q16(Tn)
         C[fy0:fy1, fx0:fx1] = Cn
@@ -329,12 +326,67 @@ def _bilin_grid(slab, gx_u, gy_w, quant):
     return t1[:, x0] * w0x + t1[:, x0 + 1] * w1x
 
 
-def _signed_inv_spacing_np(coord):
-    """fp32 mirror of render/warp._signed_inv_spacing. coord: [RP] f32."""
-    diff = np.diff(coord, append=coord[-1] * f32(2.0) - coord[-2]) \
-        .astype(f32)
-    return (np.where(diff >= 0, f32(1.0), f32(-1.0))
-            / np.maximum(np.abs(diff), f32(1e-12))).astype(f32)
+def _safe_div_np(num, den):
+    sgn = np.where(den >= 0, f32(1.0), f32(-1.0))
+    return (num / (sgn * np.maximum(np.abs(den), f32(1e-12)))).astype(f32)
+
+
+def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan):
+    """fp32 mirror of render/warp.fan_shifts (closed, cancellation-free
+    form) for ONE particle.  Returns (du [RP,RP], dw [RP,RP] or None)."""
+    r = cfg.render
+    W, H = f32(r.width), f32(r.height)
+    proj = cfg.camera.projection
+    right = np.asarray(camera.right, np.float32)
+    up = np.asarray(camera.up, np.float32)
+    fwd = np.asarray(camera.fwd, np.float32)
+    sx, sy = f32(camera.scale_x), f32(camera.scale_y)
+    dox_step = f32(2.0) * sx / W
+    doy_step = f32(-2.0) * sy / H
+
+    iv = np.arange(RP, dtype=np.float32)[None, :]          # [1, RP]
+    jv = np.arange(RP, dtype=np.float32)[:, None]          # [RP, 1]
+    sx0f, sy0f = f32(sx0), f32(sy0)
+    doy_j = (f32(py_c) - (sy0f + jv + f32(0.5))) * (f32(2.0) * sy / H)
+    dox_i = ((sx0f + iv + f32(0.5)) - f32(px_c)) * (f32(2.0) * sx / W)
+
+    if proj == "ortho":
+        fz = fwd[2] if abs(float(fwd[2])) >= _EPS else \
+            f32(_EPS if fwd[2] >= 0 else -_EPS)
+        kx, ky = f32(fwd[0] / fz), f32(fwd[1] / fz)
+        Ax = right[0] - right[2] * kx
+        Bx = up[0] - up[2] * kx
+        du = np.broadcast_to(_safe_div_np(doy_j * Bx, dox_step * Ax),
+                             (RP, RP)).astype(f32)
+        if not row_fan:
+            return du, None
+        Ay = right[1] - right[2] * ky
+        By = up[1] - up[2] * ky
+        dw = np.broadcast_to(_safe_div_np(dox_i * Ay, doy_step * By),
+                             (RP, RP)).astype(f32)
+        return du, dw
+
+    ox_i = ((sx0f + iv + f32(0.5)) * (f32(2.0) / W) - f32(1.0)) * sx
+    oy_c = (f32(1.0) - f32(py_c) * (f32(2.0) / H)) * sy
+    D_ic = fwd[2] + ox_i * right[2] + oy_c * up[2]         # [1, RP]
+    Nx_ic = fwd[0] + ox_i * right[0] + oy_c * up[0]
+    Fy_i = up[0] * D_ic - Nx_ic * up[2]
+    Gx_i = right[0] * D_ic - Nx_ic * right[2]
+    D_ip1 = D_ic + dox_step * right[2]
+    D_ij = (D_ic + doy_j * up[2]).astype(f32)              # [RP, RP]
+    du = _safe_div_np(doy_j * (Fy_i * D_ip1), D_ij * (dox_step * Gx_i))
+    if not row_fan:
+        return du, None
+    oy_j = (f32(1.0) - (sy0f + jv + f32(0.5)) * (f32(2.0) / H)) * sy
+    ox_c = (f32(px_c) * (f32(2.0) / W) - f32(1.0)) * sx
+    D_cj = fwd[2] + oy_j * up[2] + ox_c * right[2]         # [RP, 1]
+    Ny_cj = fwd[1] + oy_j * up[1] + ox_c * right[1]
+    Fx_j = right[1] * D_cj - Ny_cj * right[2]
+    Gy_j = up[1] * D_cj - Ny_cj * up[2]
+    D_jp1 = D_cj + doy_step * up[2]
+    D_ij2 = (D_cj + dox_i * right[2]).astype(f32)
+    dw = _safe_div_np(dox_i * (Fx_j * D_jp1), D_ij2 * (doy_step * Gy_j))
+    return du, dw
 
 
 def _edge_clamped_shift_np(raw, K, RP, axis_idx):

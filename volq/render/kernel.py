@@ -41,7 +41,7 @@ _EPS = 1e-6
 
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
-_G_ALB_R, _G_ALB_G, _G_ALB_B, _G_SX0, _G_SY0 = range(7, 12)
+_G_ALB_R, _G_ALB_G, _G_ALB_B, _G_SX0, _G_SY0, _G_PXC, _G_PYC = range(7, 14)
 _GF = 16
 
 
@@ -62,6 +62,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     N = particles.age.shape[0]
     persp = cfg.camera.projection == "persp"
     wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+    # fp32 mode: true-f32 MXU passes (the default is a bf16 multi-pass
+    # approximation; see render/warp.py)
+    prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     lit = light_volumes is not None
     from volq.render.warp import needs_row_fan
     row_fan = needs_row_fan(cfg)
@@ -85,6 +88,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         particles.albedo.astype(jnp.float32))
     geomf = geomf.at[:, _G_SX0].set(geom["sx0"].astype(jnp.float32))
     geomf = geomf.at[:, _G_SY0].set(geom["sy0"].astype(jnp.float32))
+    geomf = geomf.at[:, _G_PXC].set(geom["px_c"])
+    geomf = geomf.at[:, _G_PYC].set(geom["py_c"])
 
     # camera + light constants, replicated [1, 16] SMEM blocks
     camf = jnp.stack([
@@ -106,7 +111,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # Unroll U march steps per grid step: amortizes the fixed per-grid-step
     # cost (block bookkeeping, predicates) over more MXU work.  Measured
     # on c3: ~290 ns fixed per grid step (U=2 cut 3.5 ms off the frame).
-    U = next(u for u in (4, 3, 2, 1) if S % u == 0)
+    # VMEM budget caps the unroll: accumulators/geometry scale with RP^2
+    # and each unrolled step double-buffers two [V, V] slab blocks.
+    u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
+    U = next(u for u in (8, 6, 4, 3, 2, 1) if S % u == 0 and u <= u_cap)
     SG = S // U
 
     def z0_of(s):
@@ -224,23 +232,40 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         jnp.int32, (V, RP), 0).astype(jnp.float32) - gxc)
             ).astype(wdt)                                        # [V(a), RP]
 
-            def sample(s0, s1):
+            def lerped(s0, s1):
                 a = s0[0, 0].astype(jnp.float32)
                 b = s1[0, 0].astype(jnp.float32)
-                slab = (a + (b - a) * fz_lerp).astype(wdt)       # [V,V]
-                t1_ = jax.lax.dot_general(
-                    Wy, slab, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [RP,V(a)]
-                return jax.lax.dot_general(
-                    t1_.astype(wdt), WxT, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # [RP,RP]
+                return (a + (b - a) * fz_lerp).astype(wdt)       # [V,V]
 
-            sig = sample(vols_in[2 * u], vols_in[2 * u + 1])
-            alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
+            def contract(slab_cat, n_banks):
+                """sigma for 1-2 banks whose slabs are concatenated on
+                the a (x) axis: dot1 N-widens to n_banks*V — same math
+                and rounding points as separate pairs, bigger MXU tiles
+                (the V=64 configs were MXU-bound on half-empty tiles).
+                Returns a list of [RP, RP] per bank."""
+                t1_ = jax.lax.dot_general(
+                    Wy, slab_cat, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                      # [RP, nb*V(a)]
+                t1w = t1_.astype(wdt)
+                return [jax.lax.dot_general(
+                    t1w[:, k * V:(k + 1) * V], WxT,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+                    for k in range(n_banks)]
+
             if lit:
-                tau = sample(lvols_in[2 * u], lvols_in[2 * u + 1])
+                slab_cat = jnp.concatenate(
+                    [lerped(vols_in[2 * u], vols_in[2 * u + 1]),
+                     lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
+                    axis=0)                              # [2V(a'), V(b)]
+                sig, tau = contract(slab_cat, 2)
+                alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
             else:
+                sig, = contract(lerped(vols_in[2 * u],
+                                       vols_in[2 * u + 1]), 1)
+                alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = 1.0
 
             T = acc[3]
@@ -260,40 +285,39 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
-            ndx = (sx0 + ii + 0.5) / W_ * 2.0 - 1.0
-            ndy = 1.0 - (sy0 + jj + 0.5) / H_ * 2.0
-            ox = ndx * camf_r[0, 12]
-            oy = ndy * camf_r[0, 13]
+            px_c = gf[0, 0, _G_PXC]
+            py_c = gf[0, 0, _G_PYC]
+            rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
+            uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
+            sxs, sys = camf_r[0, 12], camf_r[0, 13]
+            iv = ii[0:1, :]                                  # [1, RP]
+            jv = jj[:, 0:1]                                  # [RP, 1]
+            dox_step = 2.0 * sxs / W_
+            doy_step = -2.0 * sys / H_
+
+            def safe_div(num, den):
+                sgn = jnp.where(den >= 0, 1.0, -1.0)
+                return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
+
+            # closed-form fan shifts (render/warp.fan_shifts: the literal
+            # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
+            doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
+            dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
             if persp:
-                dxp = camf_r[0, 9] + ox * camf_r[0, 3] + oy * camf_r[0, 6]
-                dyp = camf_r[0, 10] + ox * camf_r[0, 4] + oy * camf_r[0, 7]
-                dzp = camf_r[0, 11] + ox * camf_r[0, 5] + oy * camf_r[0, 8]
-                dzp = jnp.where(jnp.abs(dzp) < _EPS,
-                                jnp.where(dzp >= 0, _EPS, -_EPS), dzp)
-                rx_p = dxp / dzp
-                ry_p = dyp / dzp
+                ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
+                oy_c = (1.0 - py_c * (2.0 / H_)) * sys
+                D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RP]
+                Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
+                Fy_i = uxc * D_ic - Nx_ic * uzc
+                Gx_i = rxc * D_ic - Nx_ic * rzc
+                D_ip1 = D_ic + dox_step * rzc
+                D_ij = D_ic + doy_j * uzc                    # [RP, RP]
+                du = safe_div(doy_j * (Fy_i * D_ip1),
+                              D_ij * (dox_step * Gx_i))
             else:
-                o_xp = eye_x + ox * camf_r[0, 3] + oy * camf_r[0, 6]
-                o_yp = eye_y + ox * camf_r[0, 4] + oy * camf_r[0, 7]
-                o_zp = eye_z + ox * camf_r[0, 5] + oy * camf_r[0, 8]
-                rx_p = o_xp - o_zp * kx
-                ry_p = o_yp - o_zp * ky
-
-            def inv_spacing(coord2d, axis):
-                """coord2d: [1,RP] (axis=1) or [RP,1] (axis=0) fp32."""
-                if axis == 1:
-                    nxt = jnp.concatenate(
-                        [coord2d[:, 1:],
-                         coord2d[:, -1:] * 2 - coord2d[:, -2:-1]], axis=1)
-                else:
-                    nxt = jnp.concatenate(
-                        [coord2d[1:], coord2d[-1:] * 2 - coord2d[-2:-1]],
-                        axis=0)
-                diff = nxt - coord2d
-                return (jnp.where(diff >= 0, 1.0, -1.0)
-                        / jnp.maximum(jnp.abs(diff), 1e-12))
-
-            du = (rx_p - rx_row) * inv_spacing(rx_row, 1)
+                Ax = rxc - rzc * kx
+                Bx = uxc - uzc * kx
+                du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
             clamped = ((du < -K) | (du > K - 1e-3)) & (vld > 0)
             du = jnp.clip(du, -K, K - 1e-3)
             du = jnp.maximum(du, -ii)
@@ -325,7 +349,21 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             img4 = shift_interp(img4, du, axis=1)
             if row_fan:
-                dw = (ry_p - ry_col) * inv_spacing(ry_col, 0)
+                if persp:
+                    oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
+                    ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
+                    D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RP, 1]
+                    Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
+                    Fx_j = ryc * D_cj - Ny_cj * rzc
+                    Gy_j = uyc * D_cj - Ny_cj * uzc
+                    D_jp1 = D_cj + doy_step * uzc
+                    D_ij2 = D_cj + dox_i * rzc
+                    dw = safe_div(dox_i * (Fx_j * D_jp1),
+                                  D_ij2 * (doy_step * Gy_j))
+                else:
+                    Ay = ryc - rzc * ky
+                    By = uyc - uzc * ky
+                    dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
                 clamped_y = ((dw < -K) | (dw > K - 1e-3)) & (vld > 0)
                 dw = jnp.clip(dw, -K, K - 1e-3)
                 dw = jnp.maximum(dw, -jj)
@@ -409,9 +447,10 @@ def _canvas_dims(cfg: SceneConfig, h_local):
 
 
 def canvas_init_pallas(cfg: SceneConfig, h_local):
-    """Padded canvas [4, Hc, Wc] (C=0, T=1); bf16 in fast mode (halves the
-    RMW DMA traffic; the oracle mirrors the per-step rounding)."""
-    cdt = jnp.float32 if cfg.render.warp_fp32 else jnp.bfloat16
+    """Padded canvas [4, Hc, Wc] (C=0, T=1); bf16 with
+    warp_canvas_fp32=False (halves the RMW DMA traffic; the oracle
+    mirrors the per-step rounding)."""
+    cdt = jnp.float32 if cfg.render.warp_canvas_fp32 else jnp.bfloat16
     _, _, Hc, Wc = _canvas_dims(cfg, h_local)
     return jnp.concatenate([jnp.zeros((3, Hc, Wc), cdt),
                             jnp.ones((1, Hc, Wc), cdt)], axis=0)

@@ -262,6 +262,10 @@ def _march_images(particles: Particles, volumes, camera: Camera,
     N = particles.age.shape[0]
     proj = cfg.camera.projection
     wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+    # fp32 mode must request true-f32 MXU passes: the TPU default matmul
+    # precision is a bf16 multi-pass approximation (measured 1.4e-3
+    # device-vs-oracle drift; HIGHEST brings it to 8e-5)
+    prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     gsc = jnp.float32(V - 1)
     coeffs = _plane_pos_coeffs(camera, proj)
     l_col = jnp.asarray(light.color, jnp.float32)[:, None, None]
@@ -363,20 +367,25 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                 if slab.ndim == 2:
                     sl2 = jnp.stack([slab, lslab])        # [2,V,V]
                     t1_ = jnp.einsum("nwb,kab->nkwa", Wy, sl2,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
                 else:
                     sl2 = jnp.stack([slab, lslab], axis=1)  # [c,2,V,V]
                     t1_ = jnp.einsum("nwb,nkab->nkwa", Wy, sl2,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=prec)
                 both = jnp.einsum("nkwa,nua->nkwu", t1_.astype(wdt), Wx,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
                 sig, tau = both[:, 0], both[:, 1]
             else:
                 eq1 = "nwb,ab->nwa" if slab.ndim == 2 else "nwb,nab->nwa"
                 t1_ = jnp.einsum(eq1, Wy, slab,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
                 sig = jnp.einsum("nwa,nua->nwu", t1_.astype(wdt), Wx,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)
                 tau = None
 
             alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt), 0.0)
@@ -448,13 +457,98 @@ def _shift_interp(img, delta, K, axis):
     return out
 
 
-def _signed_inv_spacing(coord):
-    """1 / (coord[i+1] - coord[i]) with the last spacing extrapolated and
-    the magnitude floored (sign preserved).  coord: [c, RP] fp32."""
-    diff = jnp.diff(coord, append=coord[:, -1:] * 2 - coord[:, -2:-1],
-                    axis=1)
-    return (jnp.where(diff >= 0, 1.0, -1.0)
-            / jnp.maximum(jnp.abs(diff), 1e-12))
+def _safe_div(num, den):
+    sgn = jnp.where(den >= 0, 1.0, -1.0)
+    return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
+
+
+def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
+    """The fan shifts du (and dw for yawed/rolled cameras) in CLOSED,
+    cancellation-free form.
+
+    Definition: du(i, j) = (rx(px_i, py_j) - rx(px_i, py_c)) / (rx(px_{i+1},
+    py_c) - rx(px_i, py_c)).  Evaluating that literally subtracts two O(1)
+    ray coordinates that agree to ~1e-4 and divides by a same-sized
+    spacing — a ~3000x amplifier of fp32 ulp differences between
+    backends (measured: broad 1e-4..1e-3 device-vs-oracle drift).  The
+    subtractions collapse symbolically: with affine N_x(ox, oy) and
+    D(ox, oy) (rx = N_x / D),
+
+        rx_p - rx_u = doy * (up_x * D_ic - Nx_ic * up_z) / (D_ij * D_ic)
+        spacing_i   = dox * (right_x * D_ic - Nx_ic * right_z)
+                      / (D_{i+1,c} * D_ic)
+
+    so du = doy * Fy_i * D_{i+1,c} / (D_ij * dox * Gx_i) with every factor
+    well-conditioned.  The kernel epilogue and the oracle mirror this
+    formula exactly.  Orthographic rx is affine, so du/dw are one-liners.
+
+    Shapes: inputs [c]; returns (du [c,RP,RP], dw [c,RP,RP] or None).
+    """
+    r = cfg.render
+    RP = r.warp_rect
+    W, H = float(r.width), float(r.height)
+    proj = cfg.camera.projection
+    row_fan = needs_row_fan(cfg)
+    rx_, ry_, rz_ = camera.right[0], camera.right[1], camera.right[2]
+    ux, uy, uz = camera.up[0], camera.up[1], camera.up[2]
+    fx, fy, fz = camera.fwd[0], camera.fwd[1], camera.fwd[2]
+    sx, sy = camera.scale_x, camera.scale_y
+    dox = 2.0 * sx / W                       # ox step per pixel column
+    doy_step = -2.0 * sy / H                 # oy step per pixel row
+
+    iv = jnp.arange(RP, dtype=jnp.float32)
+    ndx_i = (sx0[:, None].astype(jnp.float32) + iv + 0.5) * (2.0 / W) - 1.0
+    ox_i = ndx_i * sx                                       # [c,RP]
+    ndy_j = 1.0 - (sy0[:, None].astype(jnp.float32) + iv + 0.5) * (2.0 / H)
+    oy_j = ndy_j * sy                                       # [c,RP]
+    # offsets from the CONTINUOUS center row/column (no cancellation:
+    # py_c - sy0 is O(RP))
+    doy_j = (py_c[:, None] - (sy0[:, None].astype(jnp.float32)
+                              + iv + 0.5)) * (2.0 * sy / H)  # [c,RP]
+    dox_i = ((sx0[:, None].astype(jnp.float32) + iv + 0.5)
+             - px_c[:, None]) * (2.0 * sx / W)               # [c,RP]
+
+    if proj == "ortho":
+        fzs = jnp.where(jnp.abs(fz) < _EPS,
+                        jnp.where(fz >= 0, _EPS, -_EPS), fz)
+        kx, ky = fx / fzs, fy / fzs
+        Ax = rx_ - rz_ * kx
+        Bx = ux - uz * kx
+        du = jnp.broadcast_to(
+            _safe_div(doy_j * Bx, dox * Ax)[:, :, None],
+            doy_j.shape[:1] + (RP, RP))
+        if not row_fan:
+            return du, None
+        Ay = ry_ - rz_ * ky
+        By = uy - uz * ky
+        dw = jnp.broadcast_to(
+            _safe_div(dox_i * Ay, doy_step * By)[:, None, :],
+            doy_j.shape[:1] + (RP, RP))
+        return du, dw
+
+    ndy_c = 1.0 - py_c * (2.0 / H)
+    oy_c = (ndy_c * sy)[:, None]                            # [c,1]
+    D_ic = fz + ox_i * rz_ + oy_c * uz                      # [c,RP(i)]
+    Nx_ic = fx + ox_i * rx_ + oy_c * ux
+    Fy_i = ux * D_ic - Nx_ic * uz
+    Gx_i = rx_ * D_ic - Nx_ic * rz_
+    D_ip1 = D_ic + dox * rz_
+    D_ij = D_ic[:, None, :] + (doy_j * uz)[:, :, None]      # [c,RP(j),RP(i)]
+    du = _safe_div(doy_j[:, :, None] * (Fy_i * D_ip1)[:, None, :],
+                   D_ij * (dox * Gx_i)[:, None, :])
+
+    if not row_fan:
+        return du, None
+    ndx_c = px_c * (2.0 / W) - 1.0
+    ox_c = (ndx_c * sx)[:, None]
+    D_cj = fz + oy_j * uz + ox_c * rz_                      # [c,RP(j)]
+    Ny_cj = fy + oy_j * uy + ox_c * ry_
+    Fx_j = ry_ * D_cj - Ny_cj * rz_
+    Gy_j = uy * D_cj - Ny_cj * uz
+    D_jp1 = D_cj + doy_step * uz
+    dw = _safe_div(dox_i[:, None, :] * (Fx_j * D_jp1)[:, :, None],
+                   D_ij * (doy_step * Gy_j)[:, :, None])
+    return du, dw
 
 
 def _edge_clamped_shift(raw, K, RP, axis_idx):
@@ -482,26 +576,16 @@ def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
 
     def chunk_fn(args):
         img, sx0, sy0, px_c, py_c, rx_u, ry_w, valid = args
-        c = img.shape[0]
-        ii = jnp.arange(RP, dtype=jnp.float32)
-        pxi = sx0[:, None, None].astype(jnp.float32) + ii[None, None, :]
-        pyj = sy0[:, None, None].astype(jnp.float32) + ii[None, :, None]
-        pxi, pyj = jnp.broadcast_to(pxi, (c, RP, RP)), \
-            jnp.broadcast_to(pyj, (c, RP, RP))
-        rx_p, ry_p = ray_coords(camera, pxi, pyj, W, H, proj)
+        du_raw, dw_raw = fan_shifts(camera, cfg, sx0, sy0, px_c, py_c)
 
         iif = jnp.arange(RP, dtype=jnp.float32)
-        du_raw = (rx_p - rx_u[:, None, :]) \
-            * _signed_inv_spacing(rx_u)[:, None, :]
         du, clampx = _edge_clamped_shift(du_raw, K, RP,
                                          iif[None, None, :])
         clamp_total = jnp.sum((valid[:, None, None] & clampx)
                               .astype(jnp.int32))
         out = _shift_interp(img, du, K, axis=3)
 
-        if row_fan:
-            dw_raw = (ry_p - ry_w[:, :, None]) \
-                * _signed_inv_spacing(ry_w)[:, :, None]
+        if dw_raw is not None:
             dw, clampy = _edge_clamped_shift(dw_raw, K, RP,
                                              iif[None, :, None])
             clamp_total = clamp_total + jnp.sum(
@@ -526,12 +610,12 @@ def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
 
 
 def _canvas_init(cfg: SceneConfig, h_local):
-    """XLA-path padded canvas (C [3,Hc,Wc], T [Hc,Wc]); fast mode stores
-    it bf16 (the Pallas kernel does the same; the oracle mirrors the
-    per-particle rounding)."""
+    """XLA-path padded canvas (C [3,Hc,Wc], T [Hc,Wc]); with
+    warp_canvas_fp32=False it is stored bf16 (the Pallas kernel does the
+    same; the oracle mirrors the per-particle rounding)."""
     r = cfg.render
     RP = r.warp_rect
-    cdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+    cdt = jnp.float32 if r.warp_canvas_fp32 else jnp.bfloat16
     Hc = h_local + 2 * RP
     Wc = r.width + 2 * RP
     return (jnp.zeros((3, Hc, Wc), cdt), jnp.ones((Hc, Wc), cdt))
@@ -582,11 +666,15 @@ def _canvas_finish(C, T, cfg: SceneConfig, h_local):
         .transpose(1, 2, 0)                                # [h,W,4]
 
 
-def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
-                cfg: SceneConfig, light_volumes=None, y_start=0,
-                h_local: int | None = None):
-    """Render one frame (or a horizontal pixel band, the shardable unit)
-    with the warp engine.  Returns ([h_local, W, 4] f32, stats).
+def render_warp_canvas(particles: Particles, volumes, camera: Camera,
+                       light: Light, cfg: SceneConfig, light_volumes=None,
+                       y_start=0, h_local: int | None = None):
+    """March + composite the given particles onto a fresh padded canvas,
+    WITHOUT the final crop/background pass.  Returns
+    (canvas [4, Hc, Wc] — premultiplied C in [:3], T in [3] — , stats).
+    This is the shardable unit of the warp engine's distributed path:
+    canvases of disjoint depth slices combine with the associative OVER
+    (dist/sharded.py binary-swap compositing).
 
     Particles are processed in depth-sorted MEGACHUNKS of at most
     ``warp_mega`` (march a chunk -> composite it onto the carried canvas
@@ -642,9 +730,20 @@ def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
                                       y_start, h_local)
         shift_clamped = shift_clamped + sc
 
-    if r.warp_pallas:
-        image = _canvas_finish(canvas[:3], canvas[3], cfg, h_local)
-    else:
-        image = _canvas_finish(canvas[0], canvas[1], cfg, h_local)
+    if not r.warp_pallas:
+        canvas = jnp.concatenate([canvas[0], canvas[1][None]], axis=0)
     stats = dict(stats, shift_clamped=shift_clamped)
-    return image, stats
+    return canvas, stats
+
+
+def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
+                cfg: SceneConfig, light_volumes=None, y_start=0,
+                h_local: int | None = None):
+    """Render one frame (or a horizontal pixel band) with the warp
+    engine.  Returns ([h_local, W, 4] f32, stats)."""
+    if h_local is None:
+        h_local = cfg.render.height
+    canvas, stats = render_warp_canvas(particles, volumes, camera, light,
+                                       cfg, light_volumes=light_volumes,
+                                       y_start=y_start, h_local=h_local)
+    return _canvas_finish(canvas[:3], canvas[3], cfg, h_local), stats

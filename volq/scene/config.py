@@ -116,6 +116,10 @@ class RenderConfig:
                                # at once)
     warp_fp32: bool = True     # warp engine: fp32 weights/slabs (False:
                                # bf16 march + bf16-quantized images)
+    warp_canvas_fp32: bool = True  # warp engine: fp32 composite canvas
+                               # (False: bf16 — halves composite traffic;
+                               # single-chip only: the sharded
+                               # binary-swap combine requires fp32)
     warp_pallas: bool = False  # warp engine: use the Pallas TPU kernels
                                # (render/kernel.py) for march + composite
     tile_h: int = 8            # screen tile shape; (8, 128) is VPU-native
@@ -212,8 +216,8 @@ def c2() -> SceneConfig:
                               albedo_base=(1.0, 0.9, 0.8), albedo_var=0.35),
         camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
         render=RenderConfig(width=512, height=512, steps=32, engine="warp",
-                            warp_fp32=False, warp_rect=192, warp_chunk=64,
-                            warp_pallas=True,
+                            warp_fp32=False, warp_rect=224, warp_chunk=64,
+                            warp_pallas=True, warp_shift_max=16,
                             max_tiles_per_particle=128, max_pairs=4096,
                             max_pairs_per_tile=48, density_scale=9.0),
     )
@@ -237,6 +241,7 @@ def c3() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
                             engine="warp", warp_fp32=False, warp_rect=160,
+                            warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
                             near_fade_end=6.0,
@@ -260,10 +265,11 @@ def c4() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
-                            engine="warp", warp_fp32=False, warp_rect=160,
+                            engine="warp", warp_fp32=False, warp_rect=128,
+                            warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
-                            tile_h=8, tile_w=32, near_fade_start=9.0,
-                            near_fade_end=6.5,
+                            tile_h=8, tile_w=32, near_fade_start=9.5,
+                            near_fade_end=7.5,
                             max_tiles_per_particle=64, max_pairs=163840,
                             max_pairs_per_tile=128, density_scale=10.0),
     )
