@@ -235,6 +235,42 @@ def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
     assert d < TOL
 
 
+@pytest.mark.parametrize("eye,axis", [((5.2, 0.6, 0.4), 0),
+                                      ((0.4, 5.0, 0.3), 1)])
+def test_warp_side_view_dominant_axis(eye, axis):
+    """Cameras looking along world x or y: the march axis follows the
+    camera (VERDICT round-1 item 8) via the world-axis permutation; the
+    render must match the oracle AND stay close to the exact engine
+    (without axis selection the rays would be nearly parallel to the
+    marching planes and quality would collapse)."""
+    from volq.render.warp import march_axis
+    cfg = SceneConfig(
+        n_particles=4, init="grid", seed=7,
+        volume=VolumeConfig(size=16, bank_size=2, octaves=2),
+        emitter=EmitterConfig(radius=1.2, size_min=0.5, size_max=0.8,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=eye, look_at=(0, 0, 0), fov_y_deg=50.0),
+        render=RenderConfig(width=128, height=64, steps=8, engine="warp",
+                            warp_rect=48, density_scale=10.0),
+    )
+    assert march_axis(cfg) == axis
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+    exact = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, engine="exact"))
+    img_exact, _ = render_only(state, camera, light, exact)
+    err = np.asarray(img_exact, np.float64) - img
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
+    # without the axis permutation this scene measures ~4 dB (rays nearly
+    # parallel to the marching planes); the y-looking camera's up hint is
+    # almost parallel to its forward, so its basis is diagonal in engine
+    # coords and the fan interpolation costs a little more blur — 27 dB
+    # is the honest bar there (the x-looking camera measures > 30)
+    assert psnr > 27.0, f"side-view PSNR {psnr:.1f} dB"
+
+
 def test_warp_near_fade_and_straddle_culling():
     """A particle straddling the eye z-plane is culled (counted), and the
     near-fade path matches the oracle."""

@@ -90,8 +90,23 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     S = r.steps
     proj = cfg.camera.projection
     quant = not r.warp_fp32
-    from volq.render.warp import needs_row_fan
+    from volq.render.warp import needs_row_fan, _march_perm
     row_fan = needs_row_fan(cfg)
+
+    # rotate into engine coordinates for the static march axis (mirror of
+    # render/warp.permute_for_march)
+    vp, ap = _march_perm(cfg)
+    if vp != (0, 1, 2):
+        vp = list(vp)
+        particles = particles._replace(pos=np.asarray(particles.pos)[:, vp])
+        camera = camera._replace(
+            eye=np.asarray(camera.eye)[vp],
+            right=np.asarray(camera.right)[vp],
+            up=np.asarray(camera.up)[vp],
+            fwd=np.asarray(camera.fwd)[vp])
+        volumes = np.asarray(volumes).transpose(ap)
+        if light_volumes is not None:
+            light_volumes = np.asarray(light_volumes).transpose(ap)
 
     f64 = lambda a: np.asarray(a, np.float64)
     pos = np.asarray(particles.pos, np.float32)

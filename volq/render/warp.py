@@ -61,19 +61,94 @@ _EPS = 1e-6
 ONEHOT_MAX_BANK = 64
 
 
+# March-axis support (round-1 VERDICT item 8): the engine's math marches
+# planes of constant ENGINE-z.  A camera looking along world x or y would
+# see its rays nearly parallel to those planes (quality collapse, dt
+# clamped by the slab segment), so the marching axis is chosen statically
+# as the world axis most aligned with the camera forward, and the whole
+# problem is rotated into engine coordinates by a CYCLIC world-axis
+# permutation of the camera vectors, particle positions, and volume axes
+# (the sampled field is unchanged; every formula is coordinate-wise).
+# Two candidate permutations per march axis — a cyclic (even) one and an
+# axis-swap (odd) one; both are representation isometries (every scene
+# element is permuted consistently, so the image is unchanged — verified
+# by test_warp_side_view_dominant_axis against the exact engine).  The
+# choice matters because the engine's ray grid indexes rx by pixel COLUMN
+# and ry by ROW: the permutation must keep the camera's right/up roughly
+# aligned with engine x/y or the grid degenerates (a 90-degree "roll").
+# (vec perm vp: engine component i = world component vp[i];
+#  vol perm ap: engine array dims from the world [M, z, x, y] array)
+_MARCH_PERMS = {
+    0: (((1, 2, 0), (0, 2, 3, 1)), ((2, 1, 0), (0, 2, 1, 3))),
+    1: (((2, 0, 1), (0, 3, 1, 2)), ((0, 2, 1), (0, 3, 2, 1))),
+    2: (((0, 1, 2), (0, 1, 2, 3)), ((1, 0, 2), (0, 1, 3, 2))),
+}
+
+
+def _static_camera(cfg: SceneConfig):
+    from volq.core.camera import make_camera
+    return make_camera(cfg.camera.eye, cfg.camera.look_at, cfg.camera.up,
+                       fov_y_deg=cfg.camera.fov_y_deg, aspect=1.0,
+                       ortho_half_h=cfg.camera.ortho_half_h,
+                       projection=cfg.camera.projection)
+
+
+def march_axis(cfg: SceneConfig) -> int:
+    """World axis (0=x, 1=y, 2=z) most aligned with the camera forward —
+    the static marching axis."""
+    cam = _static_camera(cfg)
+    f = [abs(float(cam.fwd[0])), abs(float(cam.fwd[1])),
+         abs(float(cam.fwd[2]))]
+    return int(max(range(3), key=lambda i: f[i]))
+
+
+def _march_perm(cfg: SceneConfig):
+    """Static (vec perm, vol perm) for the config's march axis, choosing
+    the candidate that best aligns camera right->engine x, up->engine y."""
+    cam = _static_camera(cfg)
+    axis = march_axis(cfg)
+
+    def score(vp):
+        return (abs(float(cam.right[vp[0]]))
+                + abs(float(cam.up[vp[1]])))
+
+    return max(_MARCH_PERMS[axis], key=lambda cand: score(cand[0]))
+
+
+def _permute_vec(v, perm):
+    return jnp.stack([v[perm[0]], v[perm[1]], v[perm[2]]])
+
+
+def permute_for_march(particles: Particles, volumes, camera: Camera,
+                      light_volumes, cfg: SceneConfig):
+    """Rotate the scene into engine coordinates for the config's static
+    march axis (identity when already z-marching with an unrolled
+    camera).  Mirrored by the oracle."""
+    vp, ap = _march_perm(cfg)
+    if vp == (0, 1, 2):
+        return particles, volumes, camera, light_volumes
+    particles = particles._replace(
+        pos=particles.pos[:, list(vp)], vel=particles.vel[:, list(vp)])
+    camera = camera._replace(
+        eye=_permute_vec(camera.eye, vp), right=_permute_vec(camera.right,
+                                                             vp),
+        up=_permute_vec(camera.up, vp), fwd=_permute_vec(camera.fwd, vp))
+    volumes = volumes.transpose(ap)
+    if light_volumes is not None:
+        light_volumes = light_volumes.transpose(ap)
+    return particles, volumes, camera, light_volumes
+
+
 def needs_row_fan(cfg: SceneConfig) -> bool:
     """True when the pixel->ray-coordinate map's row coordinate depends on
-    the pixel column (yawed or rolled camera), requiring the symmetric
-    row correction pass.  Static: derived from the config camera."""
-    import numpy as np
-    from volq.core.camera import make_camera
-    cam = make_camera(cfg.camera.eye, cfg.camera.look_at, cfg.camera.up,
-                      fov_y_deg=cfg.camera.fov_y_deg, aspect=1.0,
-                      ortho_half_h=cfg.camera.ortho_half_h,
-                      projection=cfg.camera.projection)
-    return bool(abs(float(cam.right[2])) > 1e-6
-                or abs(float(cam.right[1])) > 1e-6
-                or abs(float(np.asarray(cam.up)[0])) > 1e-6)
+    the pixel column (yawed or rolled camera IN ENGINE COORDINATES),
+    requiring the symmetric row correction pass.  Static."""
+    cam = _static_camera(cfg)
+    vp, _ = _march_perm(cfg)
+    right = [float(cam.right[i]) for i in vp]
+    up = [float(cam.up[i]) for i in vp]
+    return bool(abs(right[2]) > 1e-6 or abs(right[1]) > 1e-6
+                or abs(up[0]) > 1e-6)
 
 
 def ray_coords(camera: Camera, px, py, W, H, projection: str):
@@ -684,6 +759,8 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     if h_local is None:
         h_local = r.height
     N = particles.age.shape[0]
+    particles, volumes, camera, light_volumes = permute_for_march(
+        particles, volumes, camera, light_volumes, cfg)
     geom, stats = _grid_geometry(particles, camera, cfg, y_start, h_local)
 
     z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
