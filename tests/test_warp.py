@@ -220,6 +220,29 @@ def test_warp_pallas_matches_xla_path(tiny_cfg):
 
 
 @pytest.mark.parametrize("pallas", [False, True])
+def test_warp_two_class_rects_match_oracle(tiny_cfg, pallas):
+    """warp_rect_small: particles whose footprint fits the small rect
+    march at the small size; the split is an fp32 decision mirrored by
+    the oracle.  The scene mixes sizes so both classes are populated."""
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        emitter=dataclasses.replace(tiny_cfg.emitter, size_min=0.25,
+                                    size_max=0.9),
+        render=dataclasses.replace(tiny_cfg.render, engine="warp",
+                                   warp_rect=64, warp_rect_small=32,
+                                   warp_chunk=4, warp_pallas=pallas))
+    state, camera, light = setup(cfg)
+    d, img, stats = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"max diff {d}"
+    # and with megachunks
+    cfg2 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, warp_mega=4))
+    d2, _, _ = _diff(cfg2, state, camera, light)
+    assert d2 < TOL, f"megachunked two-class: max diff {d2}"
+
+
+@pytest.mark.parametrize("pallas", [False, True])
 def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
     """Depth-sorted megachunking is an execution strategy, not a
     semantics change: chunked and single-pass renders must agree (tiny

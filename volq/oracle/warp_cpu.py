@@ -152,10 +152,37 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         straddle = np.zeros_like(vz, bool)
 
     alive = np.asarray(particles.age) < np.asarray(particles.lifetime)
-    sx0 = (np.round(px_c) - RP // 2).astype(np.int64)
-    sy0 = (np.round(py_c) - RP // 2).astype(np.int64)
-    on_screen = ((sx0 > -RP) & (sx0 < W)
-                 & (sy0 > y_start - RP) & (sy0 < y_start + h_local))
+
+    # per-particle rect size: the two-class split (warp_rect_small) is an
+    # fp32 footprint decision mirrored from render/warp._grid_geometry's
+    # conservative corner-projection rect
+    RPs = r.warp_rect_small
+    if 0 < RPs < RP:
+        signs = np.asarray([[a, b, c] for a in (-1, 1) for b in (-1, 1)
+                            for c in (-1, 1)], np.float32)
+        corners = pos[:, None, :] + size[:, None, None] * signs[None]
+        crel = corners - eye
+        cvx = crel @ right
+        cvy = crel @ up
+        cvz = crel @ fwd
+        if proj == "persp":
+            cvz = np.maximum(cvz, f32(1e-3))
+            cpx = (cvx / (cvz * sx) + f32(1.0)) * f32(0.5 * W)
+            cpy = (f32(1.0) - cvy / (cvz * sy)) * f32(0.5 * H)
+        else:
+            cpx = (cvx / sx + f32(1.0)) * f32(0.5 * W)
+            cpy = (f32(1.0) - cvy / sy) * f32(0.5 * H)
+        foot_w = cpx.max(1) - cpx.min(1)
+        foot_h = cpy.max(1) - cpy.min(1)
+        is_small = (foot_w < RPs - 4.0) & (foot_h < RPs - 4.0)
+        RP_arr = np.where(is_small, RPs, RP).astype(np.int64)
+    else:
+        RP_arr = np.full(N, RP, np.int64)
+
+    sx0 = (np.round(px_c) - RP_arr // 2).astype(np.int64)
+    sy0 = (np.round(py_c) - RP_arr // 2).astype(np.int64)
+    on_screen = ((sx0 > -RP_arr) & (sx0 < W)
+                 & (sy0 > y_start - RP_arr) & (sy0 < y_start + h_local))
     valid = alive & in_front & ~straddle & on_screen
     if r.near_fade_start > 0.0:
         valid = valid & (vz > r.near_fade_end)
@@ -166,11 +193,11 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     C = np.zeros((h_local, W, 3), np.float64)
     T = np.ones((h_local, W), np.float64)
 
-    uu = np.arange(RP, dtype=np.float32)
-
     for pi in order:
         if not valid[pi]:
             continue
+        RP_pi = int(RP_arr[pi])
+        uu = np.arange(RP_pi, dtype=np.float32)
         half = f32(size[pi])
         ext = f32(2.0) * half
         lo = pos[pi] - half
@@ -188,10 +215,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         pxu = f32(sx0[pi]) + uu
         pyw = f32(sy0[pi]) + uu
         rx_u, _ = _ray_coords_np(camera, pxu,
-                                 np.full(RP, py_c[pi], f32) - f32(0.5),
+                                 np.full(RP_pi, py_c[pi], f32) - f32(0.5),
                                  W, H, proj)
         _, ry_w = _ray_coords_np(camera,
-                                 np.full(RP, px_c[pi], f32) - f32(0.5),
+                                 np.full(RP_pi, px_c[pi], f32) - f32(0.5),
                                  pyw, W, H, proj)
 
         # grid ray origins/directions (for dt, seg, tpos)
@@ -231,9 +258,9 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         o_z = o[..., 2]
 
         # ---- march the grid (f64 accumulation, fp32 positions) -------
-        Cf = np.zeros((3, RP, RP), np.float64)
-        Cb = np.zeros((3, RP, RP), np.float64)
-        Tp = np.ones((RP, RP), np.float64)
+        Cf = np.zeros((3, RP_pi, RP_pi), np.float64)
+        Cb = np.zeros((3, RP_pi, RP_pi), np.float64)
+        Tp = np.ones((RP_pi, RP_pi), np.float64)
         for s in range(S):
             zeta = f32((s + 0.5) / S)
             gz = zeta * gsc
@@ -283,18 +310,18 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
 
         # ---- fan correction (fp32 mirror of warp.fan_shifts) ----------
         du, dw = _fan_shifts_np(camera, cfg, sx0[pi], sy0[pi],
-                                px_c[pi], py_c[pi], RP, row_fan)
-        ii = np.arange(RP, dtype=np.float32)
-        du = _edge_clamped_shift_np(du, K, RP, ii[None, :])
+                                px_c[pi], py_c[pi], RP_pi, row_fan)
+        ii = np.arange(RP_pi, dtype=np.float32)
+        du = _edge_clamped_shift_np(du, K, RP_pi, ii[None, :])
         img = _interp_cols(img, ii[None, :] + du)
         if row_fan:
-            dw = _edge_clamped_shift_np(dw, K, RP, ii[:, None])
+            dw = _edge_clamped_shift_np(dw, K, RP_pi, ii[:, None])
             img = _interp_rows(img, ii[:, None] + dw)
 
         # ---- composite the rect onto the frame ------------------------
         x0, y0 = int(sx0[pi]), int(sy0[pi]) - int(y_start)
         fx0, fy0 = max(x0, 0), max(y0, 0)
-        fx1, fy1 = min(x0 + RP, W), min(y0 + RP, h_local)
+        fx1, fy1 = min(x0 + RP_pi, W), min(y0 + RP_pi, h_local)
         if fx1 <= fx0 or fy1 <= fy0:
             continue
         wi = img[:, fy0 - y0:fy1 - y0, fx0 - x0:fx1 - x0]

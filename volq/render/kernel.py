@@ -108,6 +108,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     rxu2 = geom["rx_u"]                                  # [N, RP]
     ryw2 = geom["ry_w"][..., None]                       # [N, RP, 1]
 
+    # Volume fetch strategy: the kernel was DMA-ISSUE-bound with per-step
+    # slice blocks (2U tiny DMAs per grid step, ~50k/frame on config 3);
+    # when the whole volume fits the VMEM budget it is fetched as ONE
+    # block per particle instead (auto double-buffered across the grid's
+    # particle dim; the per-step z-slices then come from VMEM).
+    vol_bytes = (1 + lit) * 2 * V ** 3 * volumes.dtype.itemsize
+    full_vol = vol_bytes <= 9 * 2 ** 20
+
     # Unroll U march steps per grid step: amortizes the fixed per-grid-step
     # cost (block bookkeeping, predicates) over more MXU work.  Measured
     # on c3: ~290 ns fixed per grid step (U=2 cut 3.5 ms off the frame).
@@ -128,12 +136,19 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         suffices — no dual Cf/Cb, no final select."""
         return jnp.where(flipped == 1, S - 1 - s_raw, s_raw)
 
-    def kernel(vidx_ref, flip_ref, *rest):
-        vols_in = rest[:2 * U]
-        rest = rest[2 * U:]
-        if lit:
-            lvols_in = rest[:2 * U]
+    def kernel(vidx_ref, flip_ref, vld_ref, *rest):
+        if full_vol:
+            vol_full = rest[0]
+            rest = rest[1:]
+            if lit:
+                lvol_full = rest[0]
+                rest = rest[1:]
+        else:
+            vols_in = rest[:2 * U]
             rest = rest[2 * U:]
+            if lit:
+                lvols_in = rest[:2 * U]
+                rest = rest[2 * U:]
         (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
          acc, geo) = rest
         n = pl.program_id(0)
@@ -200,7 +215,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             geo[1] = o_z
 
         # ---- marching steps (U unrolled per grid step) -------------------
-        for u in range(U):
+        # rows that are invalid (dead/culled, or the other size class in
+        # two-class rendering) skip the whole marching body: acc stays at
+        # the OVER identity set by _init
+        @pl.when(vld > 0)
+        def _march_steps():
+          for u in range(U):
             se = s_eff(s * U + u, flipped).astype(jnp.float32)
             zeta = (se + 0.5) / S
             gz = zeta * gsc
@@ -232,6 +252,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         jnp.int32, (V, RP), 0).astype(jnp.float32) - gxc)
             ).astype(wdt)                                        # [V(a), RP]
 
+            if full_vol:
+                z0i = jnp.clip(jnp.floor(gz), 0.0,
+                               V - 2.0).astype(jnp.int32)
+
+                def lerped_ref(ref):
+                    sl = ref[0, pl.ds(z0i, 2)]                   # [2,V,V]
+                    a = sl[0].astype(jnp.float32)
+                    b = sl[1].astype(jnp.float32)
+                    return (a + (b - a) * fz_lerp).astype(wdt)
+
             def lerped(s0, s1):
                 a = s0[0, 0].astype(jnp.float32)
                 b = s1[0, 0].astype(jnp.float32)
@@ -255,16 +285,24 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     for k in range(n_banks)]
 
             if lit:
-                slab_cat = jnp.concatenate(
-                    [lerped(vols_in[2 * u], vols_in[2 * u + 1]),
-                     lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
-                    axis=0)                              # [2V(a'), V(b)]
+                if full_vol:
+                    slab_cat = jnp.concatenate(
+                        [lerped_ref(vol_full), lerped_ref(lvol_full)],
+                        axis=0)                          # [2V(a'), V(b)]
+                else:
+                    slab_cat = jnp.concatenate(
+                        [lerped(vols_in[2 * u], vols_in[2 * u + 1]),
+                         lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
+                        axis=0)
                 sig, tau = contract(slab_cat, 2)
                 alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
             else:
-                sig, = contract(lerped(vols_in[2 * u],
-                                       vols_in[2 * u + 1]), 1)
+                if full_vol:
+                    sig, = contract(lerped_ref(vol_full), 1)
+                else:
+                    sig, = contract(lerped(vols_in[2 * u],
+                                           vols_in[2 * u + 1]), 1)
                 alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = 1.0
 
@@ -380,27 +418,40 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             clamp_out[0, 0] = clamp_out[0, 0] + n_clamp
 
     def vol_spec(u, off):
-        return pl.BlockSpec(
-            (1, 1, V, V),
-            lambda n, s, v, f, u=u, off=off: (
-                v[n], z0_of(s_eff(s * U + u, f[n])) + off, 0, 0),
-            memory_space=pltpu.VMEM)
+        # invalid rows (dead/culled or the other size class) map to a
+        # CONSTANT block: Pallas re-fetches only when the index changes,
+        # so contiguous invalid rows stream no slab DMAs at all (the
+        # depth-sorted chunks keep classes nearly contiguous)
+        def imap(n, s, v, f, vl, u=u, off=off):
+            z0 = jnp.where(vl[n] == 0, 0,
+                           z0_of(s_eff(s * U + u, f[n])) + off)
+            return (jnp.where(vl[n] == 0, 0, v[n]), z0, 0, 0)
+        return pl.BlockSpec((1, 1, V, V), imap, memory_space=pltpu.VMEM)
 
-    vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
-    per_n_smem = pl.BlockSpec((1, 1, _GF), lambda n, s, v, f: (n, 0, 0),
+    def vol_full_spec():
+        def imap(n, s, v, f, vl):
+            return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
+        return pl.BlockSpec((1, V, V, V), imap, memory_space=pltpu.VMEM)
+
+    if full_vol:
+        vol_specs = [vol_full_spec()]
+    else:
+        vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
+    per_n_smem = pl.BlockSpec((1, 1, _GF),
+                              lambda n, s, v, f, vl: (n, 0, 0),
                               memory_space=pltpu.SMEM)
-    const_smem = pl.BlockSpec((1, 16), lambda n, s, v, f: (0, 0),
+    const_smem = pl.BlockSpec((1, 16), lambda n, s, v, f, vl: (0, 0),
                               memory_space=pltpu.SMEM)
     in_specs = list(vol_specs)
-    inputs = [volumes] * (2 * U)
+    inputs = [volumes] * len(vol_specs)
     if lit:
         in_specs += vol_specs
-        inputs += [light_volumes] * (2 * U)
+        inputs += [light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((1, 1, RP), lambda n, s, v, f: (n, 0, 0),
+        pl.BlockSpec((1, 1, RP), lambda n, s, v, f, vl: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RP, 1), lambda n, s, v, f: (n, 0, 0),
+        pl.BlockSpec((1, RP, 1), lambda n, s, v, f, vl: (n, 0, 0),
                      memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
@@ -408,13 +459,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     inputs += [geomf[:, None], rxu2[:, None], ryw2, camf, lightf]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(N, SG),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 4, RP, RP), lambda n, s, v, f: (n, 0, 0, 0),
+            pl.BlockSpec((1, 4, RP, RP),
+                         lambda n, s, v, f, vl: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda n, s, v, f: (0, 0),
+            pl.BlockSpec((1, 1), lambda n, s, v, f, vl: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
@@ -424,13 +476,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     )
 
     flip = (geom["szn"] < 0).astype(jnp.int32)
+    vld_i = geom["valid"].astype(jnp.int32)
     images, clamp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((N, 4, RP, RP), wdt),
                    jax.ShapeDtypeStruct((1, 1), jnp.int32)],
         interpret=_interpret(),
-    )(vidx, flip, *inputs)
+    )(vidx, flip, vld_i, *inputs)
     return images, clamp[0, 0]
 
 
@@ -549,3 +602,123 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(order, oy_al, ox_al, dy, dx, images, canvas0)
+
+
+def composite_classes_pallas(canvas, classes, cls_idx, cfg: SceneConfig,
+                             y_start, h_local, order=None):
+    """Two-size-class canvas composite: like composite_chunk_pallas but
+    each particle's window size follows its size class (small particles
+    move ~60% less DMA traffic).  ``classes`` is a list of
+    (images [N, 4, RPc, RPc], RPc, geom_c) — at most 2; ``cls_idx`` [N]
+    i32 selects the class per particle.  Depth order = ``order`` (or the
+    array order).  Images are fetched with manual per-class DMAs (the
+    auto-pipelined block cannot switch source arrays)."""
+    r = cfg.render
+    N = classes[0][0].shape[0]
+    WH_l, WW_l, Hc, Wc = _canvas_dims(cfg, h_local)
+
+    if order is None:
+        order = jnp.arange(N, dtype=jnp.int32)
+
+    dims = []
+    offs = []
+    padded_images = []
+    for images_c, RPc, geom_c in classes:
+        WHc = RPc + 8
+        WWc = -(-(RPc + 128) // 128) * 128
+        # manual DMA slices need 128-aligned lane dims: pad image widths
+        RPW = -(-RPc // 128) * 128
+        if RPW != RPc:
+            images_c = jnp.pad(images_c,
+                               ((0, 0), (0, 0), (0, 0), (0, RPW - RPc)))
+        padded_images.append(images_c)
+        dims.append((RPc, RPW, WHc, WWc))
+        oy = jnp.clip(geom_c["sy0"] - jnp.asarray(y_start, jnp.int32)
+                      + r.warp_rect, 0, Hc - WHc).astype(jnp.int32)
+        ox = jnp.clip(geom_c["sx0"] + r.warp_rect,
+                      0, Wc - WWc).astype(jnp.int32)
+        oy_al = (oy // 8) * 8
+        ox_al = (ox // 128) * 128
+        offs += [oy_al, ox_al, oy - oy_al, ox - ox_al]
+
+    n_cls = len(classes)
+
+    def kernel(*refs):
+        # prefetch: order, cls, then 4 offset arrays per class
+        order_ref = refs[0]
+        cls_ref = refs[1]
+        off_refs = refs[2:2 + 4 * n_cls]
+        img_refs = refs[2 + 4 * n_cls:2 + 5 * n_cls]
+        out_ref = refs[2 + 5 * n_cls + 1]
+        scratch = refs[2 + 5 * n_cls + 2:]
+        # scratch: per class (img, win, pad), then 3 sems
+        sem_img, sem_in, sem_out = scratch[3 * n_cls:]
+        k = pl.program_id(0)
+        p = order_ref[k]
+
+        for c, (RPc, RPW, WHc, WWc) in enumerate(dims):
+            oy_r, ox_r, dy_r, dx_r = off_refs[4 * c:4 * c + 4]
+            img_s, win, pad = scratch[3 * c:3 * c + 3]
+
+            @pl.when(cls_ref[p] == c)
+            def _do(RPc=RPc, RPW=RPW, WHc=WHc, WWc=WWc, oy_r=oy_r, ox_r=ox_r,
+                    dy_r=dy_r, dx_r=dx_r, img_s=img_s, win=win, pad=pad,
+                    img_ref=img_refs[c]):
+                y = pl.multiple_of(oy_r[p], 8)
+                x = pl.multiple_of(ox_r[p], 128)
+                cim = pltpu.make_async_copy(img_ref.at[p], img_s, sem_img)
+                cim.start()
+                cin = pltpu.make_async_copy(
+                    out_ref.at[:, pl.ds(y, WHc), pl.ds(x, WWc)], win,
+                    sem_in)
+                cin.start()
+                pad[:] = jnp.zeros((4, WHc, WWc), jnp.float32)
+                pad[3] = jnp.ones((WHc, WWc), jnp.float32)
+                cim.wait()
+                pad[:, :RPc, :RPc] = img_s[:, :, :RPc].astype(jnp.float32)
+                dyv = dy_r[p]
+                dxv = dx_r[p]
+
+                def place(ch):
+                    return pltpu.roll(pltpu.roll(pad[ch], dyv, axis=0),
+                                      dxv, axis=1)
+
+                cin.wait()
+                Tw = win[3].astype(jnp.float32)
+                for ch in range(3):
+                    win[ch] = (win[ch].astype(jnp.float32)
+                               + Tw * place(ch)).astype(win.dtype)
+                win[3] = (Tw * place(3)).astype(win.dtype)
+                cout = pltpu.make_async_copy(
+                    win, out_ref.at[:, pl.ds(y, WHc), pl.ds(x, WWc)],
+                    sem_out)
+                cout.start()
+                cout.wait()
+
+    scratch_shapes = []
+    for (images_c, RPc, _), (RPc2, RPW, WHc, WWc) in zip(classes, dims):
+        scratch_shapes += [
+            pltpu.VMEM((4, RPc, RPW), images_c.dtype),
+            pltpu.VMEM((4, WHc, WWc), canvas.dtype),
+            pltpu.VMEM((4, WHc, WWc), jnp.float32),
+        ]
+    scratch_shapes += [pltpu.SemaphoreType.DMA(())] * 3
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + 4 * n_cls,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_cls
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=scratch_shapes,
+    )
+
+    alias_idx = 2 + 4 * n_cls + n_cls   # canvas position in the arg list
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, Hc, Wc), canvas.dtype),
+        input_output_aliases={alias_idx: 0},
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(order, cls_idx, *offs, *padded_images, canvas)

@@ -105,6 +105,10 @@ class RenderConfig:
                                # pixels (RP x RP); particles with a larger
                                # screen footprint are clipped (counted in
                                # stats as rect_overflow)
+    warp_rect_small: int = 0   # warp engine: second (small) rect class in
+                               # pixels; particles whose footprint fits it
+                               # march/composite at ~40% of the large-rect
+                               # cost (0 = single class).  Multiple of 16.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
