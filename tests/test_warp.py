@@ -242,6 +242,29 @@ def test_warp_two_class_rects_match_oracle(tiny_cfg, pallas):
     assert d2 < TOL, f"megachunked two-class: max diff {d2}"
 
 
+def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
+    """Shared banks streamed per particle march in VOL-IDX-SORTED order
+    (DMA dedup); the composite's ``order`` permutation must still put
+    them down in exact depth order — the image is identical to the
+    unsorted path.  Forced on by pretending the bank is not
+    VMEM-resident (the real trigger is bank size)."""
+    import volq.render.kernel as K
+    state, camera, light = setup(tiny_cfg)
+    cfg = _warpify(tiny_cfg, warp_pallas=True)
+    img_ref, _ = render_only(state, camera, light, cfg)
+    monkeypatch.setattr(K, "stack_bank_resident", lambda *a: False)
+    render_only.clear_cache()   # retrace under the patch
+    img_sorted, _ = render_only(state, camera, light, cfg)
+    assert np.abs(np.asarray(img_ref, np.float64)
+                  - np.asarray(img_sorted, np.float64)).max() < 1e-6
+    # and through the megachunked path
+    cfg_m = _warpify(tiny_cfg, warp_pallas=True, warp_mega=4)
+    img_m, _ = render_only(state, camera, light, cfg_m)
+    assert np.abs(np.asarray(img_ref, np.float64)
+                  - np.asarray(img_m, np.float64)).max() < 1e-6
+    render_only.clear_cache()   # drop traces made under the patch
+
+
 @pytest.mark.parametrize("pallas", [False, True])
 def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
     """Depth-sorted megachunking is an execution strategy, not a

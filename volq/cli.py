@@ -131,7 +131,8 @@ def main(argv=None):
         step = lambda st: fr(st, camera, light)
     else:
         lv = loop.cached_light_volumes(state, light, cfg)
-        step = lambda st: loop.frame(st, camera, light, cfg, lv)
+        sb = loop.cached_slab_banks(state, lv, cfg)
+        step = lambda st: loop.frame(st, camera, light, cfg, lv, sb)
 
     profiler_cm = None
     if args.profile:

@@ -35,7 +35,7 @@ def _light_volumes(state, light, cfg: SceneConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def frame(state: SceneState, camera, light, cfg: SceneConfig,
-          light_volumes=None):
+          light_volumes=None, slab_banks=None):
     """Advance one frame. Returns (new_state, image [H,W,4], stats).
 
     ``state`` is DONATED: without donation XLA copies the (possibly
@@ -43,10 +43,11 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig,
     13.7 ms/frame on config 3.  Callers must rebind, i.e.
     ``state, img, st = frame(state, ...)``.
 
-    ``light_volumes``: pass a pre-baked light-transmittance bank for
-    STATIC scenes (cached_light_volumes) to skip the per-frame re-bake;
-    None re-bakes inside the frame (required when volumes are animated
-    or the light moves)."""
+    ``light_volumes`` / ``slab_banks``: pass the pre-baked
+    light-transmittance bank and warp marching-slab banks for STATIC
+    scenes (cached_light_volumes / cached_slab_banks) to skip the
+    per-frame re-bakes; None re-bakes inside the frame (required when
+    volumes are animated or the light moves)."""
     state = sim_step(state, cfg)
     if cfg.volume.animated:
         v = cfg.volume
@@ -55,11 +56,13 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig,
                                time_scale=v.time_scale, cutoff=v.cutoff,
                                edge=v.edge)
         state = state._replace(volumes=volumes)
-        light_volumes = None  # stale: volumes just changed
+        light_volumes = None   # stale: volumes just changed
+        slab_banks = None
     if light_volumes is None:
         light_volumes = _light_volumes(state, light, cfg)
     image, stats = render_frame(state.particles, state.volumes, camera,
-                                light, cfg, light_volumes=light_volumes)
+                                light, cfg, light_volumes=light_volumes,
+                                slab_banks=slab_banks)
     return state, image, stats
 
 
@@ -73,6 +76,19 @@ def cached_light_volumes(state: SceneState, light, cfg: SceneConfig):
     bake = jax.jit(lambda v, d: bake_light_volumes(
         v, d, axis=dominant_axis(cfg.light.direction)))
     return bake(state.volumes, jnp.asarray(light.direction))
+
+
+def cached_slab_banks(state: SceneState, light_volumes, cfg: SceneConfig):
+    """Bake the warp engine's marching slab banks ONCE for a static
+    scene (render/warp.bake_march_slabs: the z-lerp constants are static
+    per step, so the bank only changes when the volumes do).  Returns
+    None when banks don't apply (other engines, animated volumes — the
+    frame then bakes in-jit)."""
+    from volq.render.warp import bake_slab_banks
+    if cfg.volume.animated or cfg.render.engine != "warp":
+        return None
+    bake = jax.jit(functools.partial(bake_slab_banks, cfg=cfg))
+    return bake(state.volumes, light_volumes)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -106,10 +122,11 @@ def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,
     for _ in range(warmup):
         state = step_only(state, cfg)
     lv = cached_light_volumes(state, light, cfg)
+    sb = cached_slab_banks(state, lv, cfg)
 
     images, all_stats = [], []
     for i in range(n_frames):
-        state, image, stats = frame(state, camera, light, cfg, lv)
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
         if fetch_images:
             images.append(jax.device_get(image))
         host_stats = {k: int(v) for k, v in jax.device_get(stats).items()}
@@ -132,13 +149,14 @@ def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 3):
     §3.5 prescribes)."""
     state, camera, light = setup(cfg)
     lv = cached_light_volumes(state, light, cfg)
-    st, image, stats = frame(state, camera, light, cfg, lv)
+    sb = cached_slab_banks(state, lv, cfg)
+    st, image, stats = frame(state, camera, light, cfg, lv, sb)
     for _ in range(warmup):
-        st, image, stats = frame(st, camera, light, cfg, lv)
+        st, image, stats = frame(st, camera, light, cfg, lv, sb)
     _sync(image)
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        st, image, stats = frame(st, camera, light, cfg, lv)
+        st, image, stats = frame(st, camera, light, cfg, lv, sb)
     _sync(image)
     dt = (time.perf_counter() - t0) / n_frames
     return dt, jax.device_get(stats)

@@ -5,11 +5,13 @@ from volq.render.slab import render_slab, render_slab_tiles
 from volq.render.warp import render_warp
 
 
-def render_frame(particles, volumes, camera, light, cfg, light_volumes=None):
+def render_frame(particles, volumes, camera, light, cfg, light_volumes=None,
+                 slab_banks=None):
     """Engine-dispatching full-frame render (cfg.render.engine)."""
     if cfg.render.engine == "warp":
         return render_warp(particles, volumes, camera, light, cfg,
-                           light_volumes=light_volumes)
+                           light_volumes=light_volumes,
+                           slab_banks=slab_banks)
     if cfg.render.engine == "slab":
         return render_slab(particles, volumes, camera, light, cfg,
                            light_volumes=light_volumes)

@@ -49,11 +49,31 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def stack_bank_resident(slab_banks, lit: bool) -> bool:
+    """True when the whole slab bank fits the kernel's VMEM-resident
+    budget (the kernel then streams ZERO per-particle volume DMAs).
+    Must mirror march_warp_pallas's stack_resident decision."""
+    if slab_banks is None:
+        return False
+    Ms, S, V, _ = slab_banks[0].shape
+    bank_bytes = (1 + lit) * Ms * S * V * V * slab_banks[0].dtype.itemsize
+    return bank_bytes <= 8 * 2 ** 20
+
+
 def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                       light: Light, cfg: SceneConfig, geom,
-                      light_volumes=None):
+                      light_volumes=None, slab_banks=None):
     """Pallas march + fan-warp.  Returns (images [N, 4, RP, RP] in the
-    working dtype, shift_clamped scalar i32)."""
+    working dtype, shift_clamped scalar i32).
+
+    ``slab_banks``: optional (density, light-or-None) PRE-LERPED marching
+    slab banks [M, S, V, V] (render/warp.bake_march_slabs).  z0(s) and
+    the z-lerp weight are STATIC per step, so the z-lerped slab each step
+    reads is a fixed linear combination of two volume slices — baking it
+    once per scene (per frame when animated) cuts the kernel's HBM
+    traffic from V^3 to S*V^2 per particle (5.3x for config 3) and
+    deletes the in-kernel z-lerp.  Bit-identical math to the in-kernel
+    path (same fp32 lerp, same rounding points)."""
     r = cfg.render
     RP = r.warp_rect
     assert RP % 16 == 0, "warp_rect must be a multiple of 16 (bf16 tiles)"
@@ -66,6 +86,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # approximation; see render/warp.py)
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     lit = light_volumes is not None
+    NP = 3 if lit else 2   # accumulator planes: (P1, P2, T) / (P2, T)
     from volq.render.warp import needs_row_fan
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
@@ -108,21 +129,40 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     rxu2 = geom["rx_u"]                                  # [N, RP]
     ryw2 = geom["ry_w"][..., None]                       # [N, RP, 1]
 
-    # Volume fetch strategy: the kernel was DMA-ISSUE-bound with per-step
-    # slice blocks (2U tiny DMAs per grid step, ~50k/frame on config 3);
-    # when the whole volume fits the VMEM budget it is fetched as ONE
-    # block per particle instead (auto double-buffered across the grid's
-    # particle dim; the per-step z-slices then come from VMEM).
+    # Volume fetch strategy, best first:
+    #   1. slab_banks: ONE [S, V, V] pre-lerped block per particle
+    #      (minimum possible traffic: exactly the slabs the march reads);
+    #   2. full volume as ONE [V, V, V] block per particle (the kernel was
+    #      DMA-ISSUE-bound with per-step slice blocks: 2U tiny DMAs per
+    #      grid step, ~50k/frame on config 3);
+    #   3. per-step [2, V, V] slice blocks (volumes too big for VMEM).
+    use_stack = slab_banks is not None
     vol_bytes = (1 + lit) * 2 * V ** 3 * volumes.dtype.itemsize
-    full_vol = vol_bytes <= 9 * 2 ** 20
+    full_vol = (not use_stack) and vol_bytes <= 9 * 2 ** 20
+    # Resident mode: when the WHOLE bank of slab stacks fits VMEM (shared
+    # small banks: c1/c2/c5-class configs), its block index is constant —
+    # Pallas fetches it once and per-particle volume DMA drops to ZERO.
+    stack_resident = False
+    if use_stack:
+        Ms = slab_banks[0].shape[0]
+        bank_bytes = (1 + lit) * Ms * S * V * V * \
+            slab_banks[0].dtype.itemsize
+        stack_resident = bank_bytes <= 8 * 2 ** 20
 
     # Unroll U march steps per grid step: amortizes the fixed per-grid-step
     # cost (block bookkeeping, predicates) over more MXU work.  Measured
     # on c3: ~290 ns fixed per grid step (U=2 cut 3.5 ms off the frame).
     # VMEM budget caps the unroll: accumulators/geometry scale with RP^2
-    # and each unrolled step double-buffers two [V, V] slab blocks.
-    u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
-    U = next(u for u in (8, 6, 4, 3, 2, 1) if S % u == 0 and u <= u_cap)
+    # and each unrolled step double-buffers two [V, V] slab blocks —
+    # EXCEPT in slab-stack mode, whose per-particle block is U-independent
+    # (the cap is then only code size; S <= 32 unrolls fully, one grid
+    # step per particle).
+    if use_stack and S <= 32:
+        u_cap = S
+    else:
+        u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
+    U = next(u for u in (S, 16, 12, 8, 6, 4, 3, 2, 1)
+             if S % u == 0 and u <= u_cap)
     SG = S // U
 
     def z0_of(s):
@@ -137,7 +177,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         return jnp.where(flipped == 1, S - 1 - s_raw, s_raw)
 
     def kernel(vidx_ref, flip_ref, vld_ref, *rest):
-        if full_vol:
+        if use_stack:
+            vol_stack = rest[0]
+            rest = rest[1:]
+            if lit:
+                lvol_stack = rest[0]
+                rest = rest[1:]
+        elif full_vol:
             vol_full = rest[0]
             rest = rest[1:]
             if lit:
@@ -174,11 +220,18 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             ky = fwd_y / fz_s
 
         flipped = flip_ref[n]
+        if use_stack and stack_resident:
+            vid = vidx_ref[n]
 
         @pl.when(s == 0)
         def _init():
-            acc[:] = jnp.zeros((4, RP, RP), jnp.float32)
-            acc[3] = jnp.ones((RP, RP), jnp.float32)
+            # factored accumulators: the per-step color is col_ch =
+            # alb_ch * (lcol_ch * atten + amb_ch), LINEAR in (atten, 1) —
+            # so only scalar-weight planes accumulate (P1 = sum fa*atten,
+            # P2 = sum fa, T) and the RGB expansion happens once in the
+            # epilogue (after the fan warp: fewer planes to shift).
+            acc[:] = jnp.zeros((NP, RP, RP), jnp.float32)
+            acc[NP - 1] = jnp.ones((RP, RP), jnp.float32)
             z2 = jnp.zeros((RP, RP), jnp.float32)
             if persp:
                 rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
@@ -221,11 +274,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         @pl.when(vld > 0)
         def _march_steps():
           for u in range(U):
-            se = s_eff(s * U + u, flipped).astype(jnp.float32)
+            sei = s_eff(jnp.int32(s * U + u), flipped)
+            se = sei.astype(jnp.float32)
             zeta = (se + 0.5) / S
             gz = zeta * gsc
-            z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
-            fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
+            if not use_stack:
+                z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
+                fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
             zw = lo_z + zeta * ext
             if persp:
                 c1 = zw - eye_z
@@ -252,7 +307,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         jnp.int32, (V, RP), 0).astype(jnp.float32) - gxc)
             ).astype(wdt)                                        # [V(a), RP]
 
-            if full_vol:
+            if use_stack:
+                if stack_resident:
+                    def stacked(ref):
+                        # bank flattened to [M*S, V, V]; one dynamic
+                        # leading index (vid*S + sei)
+                        return ref[pl.ds(vid * S + sei, 1)][0]
+                else:
+                    def stacked(ref):
+                        return ref[0, pl.ds(sei, 1)][0]          # [V,V] wdt
+            elif full_vol:
                 z0i = jnp.clip(jnp.floor(gz), 0.0,
                                V - 2.0).astype(jnp.int32)
 
@@ -285,7 +349,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     for k in range(n_banks)]
 
             if lit:
-                if full_vol:
+                if use_stack:
+                    slab_cat = jnp.concatenate(
+                        [stacked(vol_stack), stacked(lvol_stack)], axis=0)
+                elif full_vol:
                     slab_cat = jnp.concatenate(
                         [lerped_ref(vol_full), lerped_ref(lvol_full)],
                         axis=0)                          # [2V(a'), V(b)]
@@ -298,7 +365,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
             else:
-                if full_vol:
+                if use_stack:
+                    sig, = contract(stacked(vol_stack), 1)
+                elif full_vol:
                     sig, = contract(lerped_ref(vol_full), 1)
                 else:
                     sig, = contract(lerped(vols_in[2 * u],
@@ -306,20 +375,21 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = 1.0
 
-            T = acc[3]
+            T = acc[NP - 1]
             fa = T * alpha
-            for ch in range(3):
-                colc = gf[0, 0, _G_ALB_R + ch] * (lightf_r[0, ch] * atten
-                                                  + lightf_r[0, 3 + ch])
-                acc[ch] = acc[ch] + fa * colc
-            acc[3] = T * (1.0 - alpha)
+            if lit:
+                acc[0] = acc[0] + fa * atten
+                acc[1] = acc[1] + fa
+            else:
+                acc[0] = acc[0] + fa
+            acc[NP - 1] = T - fa
 
         # ---- epilogue: select, fan-warp, write --------------------------
         @pl.when(s == SG - 1)
         def _write():
             sx0 = gf[0, 0, _G_SX0]
             sy0 = gf[0, 0, _G_SY0]
-            img4 = [acc[0], acc[1], acc[2], acc[3]]
+            img4 = [acc[p] for p in range(NP)]
 
             jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
@@ -363,26 +433,29 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             n_clamp = jnp.sum(clamped.astype(jnp.int32))
 
             def shift_interp(planes, delta, axis):
+                # combined-weight form: out = sum_d w_d * img[.+d] with
+                # w_d = (d0==d)(1-fr) + (d0==d-1) fr — ONE slice + one
+                # fma per plane per shift, the weight shared across
+                # planes (the naive per-shift lerp costs ~3x more VPU)
                 d0 = jnp.floor(delta)
                 fr = delta - d0
-                outs = []
+                pads = []
                 for img in planes:
-                    zpad = jnp.zeros(
-                        (RP, K + 1) if axis == 1 else (K + 1, RP),
-                        jnp.float32)
-                    padded = jnp.concatenate(
-                        [zpad[:, :K] if axis == 1 else zpad[:K],
-                         img, zpad], axis=axis)
-                    out = jnp.zeros((RP, RP), jnp.float32)
-                    for dsh in range(-K, K):
-                        idx = [slice(None)] * 2
-                        idx[axis] = slice(K + dsh, K + dsh + RP)
-                        lo_v = padded[tuple(idx)]
-                        idx[axis] = slice(K + dsh + 1, K + dsh + 1 + RP)
-                        hi_v = padded[tuple(idx)]
-                        m = (d0 == dsh).astype(jnp.float32)
-                        out = out + m * ((1.0 - fr) * lo_v + fr * hi_v)
-                    outs.append(out)
+                    zpad = jnp.zeros((RP, K) if axis == 1 else (K, RP),
+                                     jnp.float32)
+                    pads.append(jnp.concatenate([zpad, img, zpad],
+                                                axis=axis))
+                outs = [jnp.zeros((RP, RP), jnp.float32) for _ in planes]
+                m_prev = jnp.zeros((RP, RP), jnp.float32)
+                for dsh in range(-K, K + 1):
+                    m = ((d0 == dsh).astype(jnp.float32)
+                         if dsh <= K - 1 else jnp.float32(0.0))
+                    w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
+                    idx = [slice(None)] * 2
+                    idx[axis] = slice(K + dsh, K + dsh + RP)
+                    for p in range(len(planes)):
+                        outs[p] = outs[p] + w * pads[p][tuple(idx)]
+                    m_prev = m
                 return outs
 
             img4 = shift_interp(img4, du, axis=1)
@@ -409,8 +482,19 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
                 img4 = shift_interp(img4, dw, axis=0)
 
-            for ch in range(4):
-                img_out[0, ch] = img4[ch].astype(img_out.dtype)
+            # RGB expansion (linear in the accumulated planes, so it
+            # commutes with the fan warp): C_ch = alb*(lcol*P1 + amb*P2)
+            if lit:
+                P1, P2, Tpl = img4
+            else:
+                P2, Tpl = img4
+                P1 = P2    # atten == 1: P1 degenerates to P2
+            for ch in range(3):
+                alb = gf[0, 0, _G_ALB_R + ch]
+                img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
+                                         + lightf_r[0, 3 + ch] * P2)
+                                  ).astype(img_out.dtype)
+            img_out[0, 3] = Tpl.astype(img_out.dtype)
 
             @pl.when(n == 0)
             def _zero():
@@ -433,7 +517,22 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
         return pl.BlockSpec((1, V, V, V), imap, memory_space=pltpu.VMEM)
 
-    if full_vol:
+    def stack_spec():
+        # invalid rows map to block 0 (same DMA-dedup trick as vol_spec)
+        def imap(n, s, v, f, vl):
+            return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
+        return pl.BlockSpec((1, S, V, V), imap, memory_space=pltpu.VMEM)
+
+    def stack_res_spec():
+        # constant block index: the whole [M*S, V, V] bank is fetched
+        # exactly once and stays VMEM-resident across the grid
+        return pl.BlockSpec((Ms * S, V, V),
+                            lambda n, s, v, f, vl: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if use_stack:
+        vol_specs = [stack_res_spec() if stack_resident else stack_spec()]
+    elif full_vol:
         vol_specs = [vol_full_spec()]
     else:
         vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
@@ -442,11 +541,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                               memory_space=pltpu.SMEM)
     const_smem = pl.BlockSpec((1, 16), lambda n, s, v, f, vl: (0, 0),
                               memory_space=pltpu.SMEM)
+    def stack_input(bank):
+        return bank.reshape(Ms * S, V, V) if stack_resident else bank
+
     in_specs = list(vol_specs)
-    inputs = [volumes] * len(vol_specs)
+    inputs = [stack_input(slab_banks[0]) if use_stack
+              else volumes] * len(vol_specs)
     if lit:
         in_specs += vol_specs
-        inputs += [light_volumes] * len(vol_specs)
+        inputs += [stack_input(slab_banks[1]) if use_stack
+                   else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
         pl.BlockSpec((1, 1, RP), lambda n, s, v, f, vl: (n, 0, 0),
@@ -470,7 +574,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, RP, RP), jnp.float32),   # acc: C3, T
+            pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,) P2, T
             pltpu.VMEM((2, RP, RP), jnp.float32),   # geo: scale*dt, o_z
         ],
     )
@@ -522,7 +626,15 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
     [RP+8, RP+128-ish]; the image is placed at the sub-tile offset
     (dy, dx) inside the widened window by dynamic circular rolls of a
     buffer padded with the OVER identity (C=0, T=1) — wrapped elements
-    land in the padding, so the roll is exact."""
+    land in the padding, so the roll is exact.
+
+    The window RMW is DOUBLE-BUFFERED: the write-back of particle k
+    overlaps the fetch/RMW of k+1 (the serial read-wait-modify-write-wait
+    chain was latency-bound at ~5 ms for 1024 windows).  Correctness
+    holds because k+1's fetch only races k's write-back when their
+    canvas windows INTERSECT — precomputed per step (``ov``) and guarded
+    by an explicit wait; buffer reuse is guarded by a wait on the
+    write-back issued two steps ago."""
     r = cfg.render
     RP = r.warp_rect
     N = images.shape[0]
@@ -537,25 +649,61 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
     ox_al = (ox // 128) * 128
     dy = oy - oy_al
     dx = ox - ox_al
+    # window-overlap flags IN COMPOSITE ORDER: ov[k] = 1 iff window k
+    # intersects window k-1 (then k's canvas fetch must wait k-1's
+    # write-back)
+    oy_k = oy_al[order]
+    ox_k = ox_al[order]
+    ov = ((jnp.abs(oy_k - jnp.roll(oy_k, 1)) < WH)
+          & (jnp.abs(ox_k - jnp.roll(ox_k, 1)) < WW)).astype(jnp.int32)
+    ov = ov.at[0].set(0)
     canvas0 = canvas
 
-    def kernel(order_ref, oy_ref, ox_ref, dy_ref, dx_ref, img_ref,
+    def kernel(order_ref, oy_ref, ox_ref, dy_ref, dx_ref, ov_ref, img_ref,
                canvas_ref, out_ref, win, pad, sem_in, sem_out):
         k = pl.program_id(0)
         p = order_ref[k]
+        b = jax.lax.rem(k, 2)
         y = pl.multiple_of(oy_ref[p], 8)
         x = pl.multiple_of(ox_ref[p], 128)
+
+        def cout_desc(bb):
+            # the write-back descriptor for buffer bb; offsets only give
+            # the byte count, so waiting with CURRENT offsets is valid
+            # for a copy started with earlier ones (same window shape)
+            return pltpu.make_async_copy(
+                win.at[bb], out_ref.at[:, pl.ds(y, WH), pl.ds(x, WW)],
+                sem_out.at[bb])
+
+        # hazard 1: buffer reuse — the write-back issued from this
+        # buffer at k-2 (skip if it was already waited at k-1's overlap
+        # guard, else the second wait would hang)
+        @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
+        def _wait_reuse():
+            cout_desc(b).wait()
+
+        # hazard 2: canvas overlap with particle k-1's window
+        @pl.when(ov_ref[k] == 1)
+        def _wait_overlap():
+            cout_desc(1 - b).wait()
+
         cin = pltpu.make_async_copy(
-            out_ref.at[:, pl.ds(y, WH), pl.ds(x, WW)], win, sem_in)
+            out_ref.at[:, pl.ds(y, WH), pl.ds(x, WW)], win.at[b],
+            sem_in.at[b])
         cin.start()
 
-        # place the image at (dy, dx) inside the widened window: pad with
-        # the OVER identity, then circular-roll by the sub-tile offset
-        # (2-D rolls per channel — 3-D dynamic rotates do not lower);
-        # wrapped elements land in the identity padding, so it is exact.
+        # place the image at (dy, dx) inside the widened window: the
+        # identity ring (C=0, T=1) is built ONCE, each step rewrites only
+        # the RP x RP image region, then circular-rolls by the sub-tile
+        # offset (2-D rolls per channel — 3-D dynamic rotates do not
+        # lower); wrapped elements land in the identity ring, so the
+        # roll is exact.
+        @pl.when(k == 0)
+        def _init_ring():
+            pad[:] = jnp.zeros((4, WH, WW), jnp.float32)
+            pad[3] = jnp.ones((WH, WW), jnp.float32)
+
         img = img_ref[0].astype(jnp.float32)            # [4, RP, RP]
-        pad[:] = jnp.zeros((4, WH, WW), jnp.float32)
-        pad[3] = jnp.ones((WH, WW), jnp.float32)
         pad[:, :RP, :RP] = img
         dyv = dy_ref[p]
         dxv = dx_ref[p]
@@ -565,31 +713,40 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
                               dxv, axis=1)
 
         cin.wait()
-        Tw = win[3].astype(jnp.float32)
+        wref = win.at[b]
+        Tw = wref[3].astype(jnp.float32)
         for ch in range(3):
-            win[ch] = (win[ch].astype(jnp.float32)
-                       + Tw * place(ch)).astype(win.dtype)
-        win[3] = (Tw * place(3)).astype(win.dtype)
-        cout = pltpu.make_async_copy(
-            win, out_ref.at[:, pl.ds(y, WH), pl.ds(x, WW)], sem_out)
+            wref[ch] = (wref[ch].astype(jnp.float32)
+                        + Tw * place(ch)).astype(canvas0.dtype)
+        wref[3] = (Tw * place(3)).astype(canvas0.dtype)
+        cout = cout_desc(b)
         cout.start()
-        cout.wait()
+
+        # drain: the final step waits its own write-back and (unless the
+        # overlap guard above already did) the previous step's
+        @pl.when(k == N - 1)
+        def _drain_own():
+            cout_desc(b).wait()
+        if N > 1:
+            @pl.when((k == N - 1) & (ov_ref[k] == 0))
+            def _drain_prev():
+                cout_desc(1 - b).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(N,),
         in_specs=[
             pl.BlockSpec((1, 4, RP, RP),
-                         lambda k, o, y, x, d1, d2: (o[k], 0, 0, 0),
+                         lambda k, o, y, x, d1, d2, v: (o[k], 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((4, WH, WW), canvas0.dtype),
+            pltpu.VMEM((2, 4, WH, WW), canvas0.dtype),
             pltpu.VMEM((4, WH, WW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -597,11 +754,11 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, Hc, Wc), canvas0.dtype),
-        input_output_aliases={6: 0},   # canvas input (after 5 prefetch
+        input_output_aliases={7: 0},   # canvas input (after 6 prefetch
                                        # args + the image array)
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(order, oy_al, ox_al, dy, dx, images, canvas0)
+    )(order, oy_al, ox_al, dy, dx, ov, images, canvas0)
 
 
 def composite_classes_pallas(canvas, classes, cls_idx, cfg: SceneConfig,

@@ -139,6 +139,78 @@ def permute_for_march(particles: Particles, volumes, camera: Camera,
     return particles, volumes, camera, light_volumes
 
 
+def _march_z_consts(S: int, V: int):
+    """The (z0, fz) z-lerp constants of every marching step — STATIC,
+    computed with the same fp32 arithmetic as the kernel so a pre-lerped
+    slab bank is bit-identical to the in-kernel lerp."""
+    import numpy as np
+    gsc = np.float32(V - 1)
+    out = []
+    for s in range(S):
+        zeta = (np.float32(s) + np.float32(0.5)) / np.float32(S)
+        gz = zeta * gsc
+        z0f = np.clip(np.float32(np.floor(gz)), np.float32(0.0),
+                      np.float32(V - 2))
+        fz = np.clip(gz - z0f, np.float32(0.0), np.float32(1.0))
+        out.append((int(z0f), float(fz)))
+    return out
+
+
+def bake_march_slabs(volumes, S: int, dtype):
+    """Pre-lerp the z slabs every marching step reads: [M, V, V, V] ->
+    [M, S, V, V] with slab[m, s] = (1-fz_s) vol[m, z0_s] + fz_s
+    vol[m, z0_s+1] (fp32 lerp, cast to the working dtype — the kernel's
+    exact math).  ``volumes`` must already be in ENGINE (march-permuted)
+    coordinates.  Cuts the march kernel's HBM traffic from V^3 to S*V^2
+    per particle and deletes the per-step z-lerp."""
+    V = volumes.shape[-1]
+    consts = _march_z_consts(S, V)
+    a = jnp.stack([volumes[:, z0] for z0, _ in consts],
+                  axis=1).astype(jnp.float32)
+    b = jnp.stack([volumes[:, z0 + 1] for z0, _ in consts],
+                  axis=1).astype(jnp.float32)
+    fz = jnp.asarray([f for _, f in consts],
+                     jnp.float32)[None, :, None, None]
+    return (a + (b - a) * fz).astype(dtype)
+
+
+def use_slab_banks(cfg: SceneConfig, V: int) -> bool:
+    """Slab banks pay when they shrink traffic (S < V) and the
+    per-particle [S, V, V] block fits the VMEM budget (double-buffered,
+    two banks when lit)."""
+    r = cfg.render
+    if not r.warp_pallas or r.engine != "warp":
+        return False
+    itemsize = 4 if r.warp_fp32 else 2
+    lit = r.light_steps > 0
+    block = r.steps * V * V * itemsize
+    return r.steps < V and (1 + lit) * 2 * block <= 9 * 2 ** 20
+
+
+def bake_slab_banks(volumes, light_volumes, cfg: SceneConfig):
+    """World-coordinate entry point: permute the volume bank(s) into
+    engine coordinates for the config's march axis, then bake the
+    marching slab banks.  Returns (density, light-or-None) or None when
+    banks don't pay for this config (render_warp_canvas then streams
+    volumes directly).  Cache the result across frames for static scenes
+    (engine/loop.cached_slab_banks)."""
+    V = volumes.shape[-1]
+    if not use_slab_banks(cfg, V):
+        return None
+    _, ap = _march_perm(cfg)
+    if ap != (0, 1, 2, 3):
+        volumes = volumes.transpose(ap)
+        if light_volumes is not None:
+            light_volumes = light_volumes.transpose(ap)
+    wdt = jnp.float32 if cfg.render.warp_fp32 else jnp.bfloat16
+    S = cfg.render.steps
+    dens = bake_march_slabs(volumes, S, wdt)
+    lite = (bake_march_slabs(light_volumes, S, wdt)
+            if light_volumes is not None and cfg.render.light_steps > 0
+            else None)
+    return (dens, lite)
+
+
 def needs_row_fan(cfg: SceneConfig) -> bool:
     """True when the pixel->ray-coordinate map's row coordinate depends on
     the pixel column (yawed or rolled camera IN ENGINE COORDINATES),
@@ -415,7 +487,17 @@ def _march_images(particles: Particles, volumes, camera: Camera,
         pv3 = valid[:, None, None]
 
         def step(s, carry):
-            Cf, Cb, T = carry
+            # factored accumulators (mirrors the Pallas kernel): the
+            # per-step color is linear in (atten, 1), so only scalar
+            # weight planes accumulate — P1 = sum T*alpha*atten, P2 =
+            # sum T*alpha (and their back-to-front twins); the RGB
+            # expansion happens once in _warp_images AFTER the fan warp
+            # (fewer planes to shift, no [c,3,RP,RP] channel tensors in
+            # the loop).
+            if lit:
+                P1f, P2f, P1b, P2b, T = carry
+            else:
+                P2f, P2b, T = carry
             zeta = (s.astype(jnp.float32) + 0.5) / S
             gz = zeta * gsc
             z0 = jnp.clip(jnp.floor(gz), 0, V - 2).astype(jnp.int32)
@@ -464,29 +546,33 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                 tau = None
 
             alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt), 0.0)
+            fa = T * alpha
             if tau is not None:
                 atten = jnp.exp(-sc3 * ext[:, None, None]
-                                * jnp.maximum(tau, 0.0))[:, None]
-            else:
-                atten = 1.0
-            col = albedo[:, :, None, None] * (l_col * atten + l_amb)
-            a4 = alpha[:, None]
-            Cf = Cf + (T * alpha)[:, None] * col
-            Cb = a4 * col + (1.0 - a4) * Cb
-            T = T * (1.0 - alpha)
-            return Cf, Cb, T
+                                * jnp.maximum(tau, 0.0))     # [c,RP,RP]
+                P1f_ = P1f + fa * atten
+                P2f_ = P2f + fa
+                P1b_ = alpha * atten + (1.0 - alpha) * P1b
+                P2b_ = alpha + (1.0 - alpha) * P2b
+                return P1f_, P2f_, P1b_, P2b_, T - fa
+            return P2f + fa, alpha + (1.0 - alpha) * P2b, T - fa
 
-        Cf0 = jnp.zeros((c, 3, RP, RP), jnp.float32)
-        Cb0 = jnp.zeros((c, 3, RP, RP), jnp.float32)
+        Z0 = jnp.zeros((c, RP, RP), jnp.float32)
         T0 = jnp.ones((c, RP, RP), jnp.float32)
-        Cf, Cb, T = jax.lax.fori_loop(0, S, step, (Cf0, Cb0, T0))
-        Csel = jnp.where((szn >= 0)[:, None, None, None], Cf, Cb)
-        img = jnp.concatenate([Csel, T[:, None]], axis=1)  # [c,4,RP,RP]
-        # invalid particles contribute the OVER identity
-        ident = jnp.concatenate([jnp.zeros((c, 3, RP, RP), jnp.float32),
-                                 jnp.ones((c, 1, RP, RP), jnp.float32)], 1)
-        img = jnp.where(valid[:, None, None, None], img, ident)
-        return img.astype(wdt)
+        fwd3 = (szn >= 0)[:, None, None]
+        if lit:
+            P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
+                0, S, step, (Z0, Z0, Z0, Z0, T0))
+            planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
+                                jnp.where(fwd3, P2f, P2b), T], axis=1)
+        else:
+            P2f, P2b, T = jax.lax.fori_loop(0, S, step, (Z0, Z0, T0))
+            planes = jnp.stack([jnp.where(fwd3, P2f, P2b), T], axis=1)
+        # invalid particles contribute the OVER identity (P = 0, T = 1)
+        ident = jnp.concatenate([jnp.zeros_like(planes[:, :-1]),
+                                 jnp.ones_like(planes[:, :1])], 1)
+        planes = jnp.where(valid[:, None, None, None], planes, ident)
+        return planes.astype(wdt)
 
     chunk = max(min(cfg.render.warp_chunk, N), 1)
     while N % chunk:
@@ -508,27 +594,30 @@ def _march_images(particles: Particles, volumes, camera: Camera,
 
 
 def _shift_interp(img, delta, K, axis):
-    """out[..] = (1-f) * img[shifted by d] + f * img[shifted by d+1] where
-    d = floor(delta) summed over static shifts d in [-K, K).  ``axis`` is
-    the image axis being shifted (2 = rows/w, 3 = cols/u for [c,4,R,R]).
-    delta: [c, RP(w), RP(u)] fp32, already edge-clamped so that
-    index + delta stays inside [0, RP-1) — the zero padding below is
+    """out = sum_d w_d * img[shifted by d] over static shifts d in
+    [-K, K], with the COMBINED weight w_d = (d0==d)(1-f) + (d0==d-1) f
+    (d0 = floor(delta)) — one slice + one fma per plane per shift, the
+    weight shared across planes (mirrors the Pallas kernel epilogue).
+    ``axis`` is the image axis being shifted (2 = rows/w, 3 = cols/u for
+    [c, P, R, R]).  delta: [c, RP(w), RP(u)] fp32, already edge-clamped
+    so index + delta stays inside [0, RP-1) — the zero padding below is
     never actually sampled.  Math in fp32 regardless of image dtype."""
     d0 = jnp.floor(delta)
-    fr = (delta - d0)[:, None]                            # [c,1,RP,RP]
+    fr = delta - d0                                       # [c,RP,RP]
     pads = [(0, 0), (0, 0), (0, 0), (0, 0)]
-    pads[axis] = (K, K + 1)
+    pads[axis] = (K, K)
     pad = jnp.pad(img.astype(jnp.float32), pads)
     RP = img.shape[axis]
     out = jnp.zeros(img.shape, jnp.float32)
-    for d in range(-K, K):
+    m_prev = jnp.zeros_like(d0)
+    for d in range(-K, K + 1):
+        m = ((d0 == d).astype(jnp.float32) if d <= K - 1
+             else jnp.zeros_like(d0))
+        w = (m + fr * (m_prev - m))[:, None]              # [c,1,RP,RP]
         idx = [slice(None)] * 4
         idx[axis] = slice(K + d, K + d + RP)
-        lo = pad[tuple(idx)]
-        idx[axis] = slice(K + d + 1, K + d + 1 + RP)
-        hi = pad[tuple(idx)]
-        m = (d0 == d).astype(jnp.float32)[:, None]
-        out = out + m * ((1.0 - fr) * lo + fr * hi)
+        out = out + w * pad[tuple(idx)]
+        m_prev = m
     return out
 
 
@@ -637,20 +726,27 @@ def _edge_clamped_shift(raw, K, RP, axis_idx):
     return du, clamped
 
 
-def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
-    """Fan correction: resample each particle image from grid columns to
-    true pixel rays (and rows, for yawed cameras).  Returns (warped
-    images, shift_clamped count)."""
+def _warp_images(images, particles, camera: Camera, light: Light,
+                 cfg: SceneConfig, geom):
+    """Fan correction: resample each particle's accumulated planes
+    ([c, 2|3, RP, RP] from _march_images) from grid columns to true
+    pixel rays (and rows, for yawed cameras), THEN expand to the
+    premultiplied RGBA image (the expansion is linear in the planes, so
+    it commutes with the warp — and 2-3 planes shift cheaper than 4
+    channels).  Returns (images [N, 4, RP, RP], shift_clamped count)."""
     r = cfg.render
     RP = r.warp_rect
     K = r.warp_shift_max
     W, H = r.width, r.height
     proj = cfg.camera.projection
     N = images.shape[0]
+    lit = images.shape[1] == 3
     row_fan = needs_row_fan(cfg)
+    l_col = jnp.asarray(light.color, jnp.float32)[None, :, None, None]
+    l_amb = jnp.asarray(light.ambient, jnp.float32)[None, :, None, None]
 
     def chunk_fn(args):
-        img, sx0, sy0, px_c, py_c, rx_u, ry_w, valid = args
+        img, albedo, sx0, sy0, px_c, py_c, rx_u, ry_w, valid = args
         du_raw, dw_raw = fan_shifts(camera, cfg, sx0, sy0, px_c, py_c)
 
         iif = jnp.arange(RP, dtype=jnp.float32)
@@ -666,13 +762,24 @@ def _warp_images(images, particles, camera: Camera, cfg: SceneConfig, geom):
             clamp_total = clamp_total + jnp.sum(
                 (valid[:, None, None] & clampy).astype(jnp.int32))
             out = _shift_interp(out, dw, K, axis=2)
-        return out, clamp_total
+
+        # RGB expansion: C_ch = alb_ch * (lcol_ch * P1 + amb_ch * P2)
+        if lit:
+            P1, P2, Tp = out[:, 0], out[:, 1], out[:, 2]
+        else:
+            P2, Tp = out[:, 0], out[:, 1]
+            P1 = P2    # atten == 1
+        col = albedo[:, :, None, None] * (l_col * P1[:, None]
+                                          + l_amb * P2[:, None])
+        out4 = jnp.concatenate([col, Tp[:, None]], axis=1)
+        return out4, clamp_total
 
     chunk = max(min(cfg.render.warp_chunk, N), 1)
     while N % chunk:
         chunk -= 1
     nc = N // chunk
-    args = (images, geom["sx0"], geom["sy0"], geom["px_c"], geom["py_c"],
+    args = (images, particles.albedo.astype(jnp.float32),
+            geom["sx0"], geom["sy0"], geom["px_c"], geom["py_c"],
             geom["rx_u"], geom["ry_w"], geom["valid"])
 
     def reshape(x):
@@ -743,7 +850,8 @@ def _canvas_finish(C, T, cfg: SceneConfig, h_local):
 
 def render_warp_canvas(particles: Particles, volumes, camera: Camera,
                        light: Light, cfg: SceneConfig, light_volumes=None,
-                       y_start=0, h_local: int | None = None):
+                       y_start=0, h_local: int | None = None,
+                       slab_banks=None):
     """March + composite the given particles onto a fresh padded canvas,
     WITHOUT the final crop/background pass.  Returns
     (canvas [4, Hc, Wc] — premultiplied C in [:3], T in [3] — , stats).
@@ -764,6 +872,17 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     particles, volumes, camera, light_volumes = permute_for_march(
         particles, volumes, camera, light_volumes, cfg)
     geom, stats = _grid_geometry(particles, camera, cfg, y_start, h_local)
+
+    # Pre-lerped marching slab banks (see bake_march_slabs): passed in by
+    # callers that cache them across frames (static scenes), else baked
+    # here in-jit (animated scenes / one-shot renders).
+    if (slab_banks is None and r.warp_pallas
+            and use_slab_banks(cfg, volumes.shape[-1])):
+        wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+        lit_ = light_volumes is not None and r.light_steps > 0
+        slab_banks = (bake_march_slabs(volumes, r.steps, wdt),
+                      bake_march_slabs(light_volumes, r.steps, wdt)
+                      if lit_ else None)
 
     # Two size classes (warp_rect_small): particles whose footprint fits
     # the small rect march/composite at ~40% of the large-rect cost (the
@@ -793,18 +912,38 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     if r.warp_pallas:
         from volq.render.kernel import (march_warp_pallas, canvas_init_pallas,
                                         composite_chunk_pallas,
-                                        composite_classes_pallas)
+                                        composite_classes_pallas,
+                                        stack_bank_resident)
         canvas = canvas_init_pallas(cfg, h_local)
+        # Shared-volume banks streamed per particle (too big for the
+        # VMEM-resident mode): march in VOL-IDX-SORTED order so runs of
+        # equal vol_idx share ONE slab-stack DMA (the kernel's block
+        # index map refetches only on change) — the composite still runs
+        # in depth order via its ``order`` prefetch.
+        lit_ = light_volumes is not None and r.light_steps > 0
+        march_vol_sort = (slab_banks is not None
+                          and not stack_bank_resident(slab_banks, lit_)
+                          and volumes.shape[0] < N)
     else:
         canvas = _canvas_init(cfg, h_local)
+        march_vol_sort = False
 
     shift_clamped = jnp.int32(0)
     for m in range(n_mega):
-        if n_mega == 1 and r.warp_pallas and not two_class:
+        comp_order = None
+        if n_mega == 1 and r.warp_pallas and not two_class \
+                and not march_vol_sort:
             parts_m, geom_m = particles, geom
+            comp_order = order
         else:
             ids = order if n_mega == 1 else \
                 jax.lax.dynamic_slice(order, (m * C,), (C,))
+            if march_vol_sort:
+                vk = jnp.where(geom["valid"][ids],
+                               particles.vol_idx[ids], -1)
+                msort = jnp.argsort(vk, stable=True).astype(jnp.int32)
+                ids = ids[msort]
+                comp_order = jnp.argsort(msort).astype(jnp.int32)
             parts_m = jax.tree.map(lambda a: a[ids], particles)
             geom_m = {k: v[ids] for k, v in geom.items()}
             if two_class:
@@ -815,34 +954,34 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
             if two_class:
                 imgs_s, sc_s = march_warp_pallas(
                     parts_m, volumes, camera, light, cfg_s, geom_sm,
-                    light_volumes=light_volumes)
+                    light_volumes=light_volumes, slab_banks=slab_banks)
                 imgs_l, sc_l = march_warp_pallas(
                     parts_m, volumes, camera, light, cfg, geom_lm,
-                    light_volumes=light_volumes)
+                    light_volumes=light_volumes, slab_banks=slab_banks)
                 canvas = composite_classes_pallas(
                     canvas, [(imgs_s, RPs, geom_sm),
                              (imgs_l, r.warp_rect, geom_lm)],
-                    cls_m, cfg, y_start, h_local)
+                    cls_m, cfg, y_start, h_local, order=comp_order)
                 sc = sc_s + sc_l
             else:
                 images, sc = march_warp_pallas(
                     parts_m, volumes, camera, light, cfg, geom_m,
-                    light_volumes=light_volumes)
+                    light_volumes=light_volumes, slab_banks=slab_banks)
                 canvas = composite_chunk_pallas(
                     canvas, images, geom_m, cfg, y_start, h_local,
-                    order=(order if n_mega == 1 else None))
+                    order=comp_order)
         else:
             if two_class:
                 imgs_s = _march_images(parts_m, volumes, camera, light,
                                        cfg_s, geom_sm,
                                        light_volumes=light_volumes)
                 imgs_s, sc_s = _warp_images(imgs_s, parts_m, camera,
-                                            cfg_s, geom_sm)
+                                            light, cfg_s, geom_sm)
                 imgs_l = _march_images(parts_m, volumes, camera, light,
                                        cfg, geom_lm,
                                        light_volumes=light_volumes)
                 imgs_l, sc_l = _warp_images(imgs_l, parts_m, camera,
-                                            cfg, geom_lm)
+                                            light, cfg, geom_lm)
                 images = _merge_class_images(imgs_s, imgs_l, cls_m,
                                              r.warp_rect)
                 geom_m = dict(
@@ -856,8 +995,8 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
                 images = _march_images(parts_m, volumes, camera, light,
                                        cfg, geom_m,
                                        light_volumes=light_volumes)
-                images, sc = _warp_images(images, parts_m, camera, cfg,
-                                          geom_m)
+                images, sc = _warp_images(images, parts_m, camera, light,
+                                          cfg, geom_m)
             canvas = _composite_chunk(canvas, images, geom_m, cfg,
                                       y_start, h_local)
         shift_clamped = shift_clamped + sc
@@ -882,12 +1021,13 @@ def _merge_class_images(imgs_small, imgs_large, cls, RP):
 
 def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
                 cfg: SceneConfig, light_volumes=None, y_start=0,
-                h_local: int | None = None):
+                h_local: int | None = None, slab_banks=None):
     """Render one frame (or a horizontal pixel band) with the warp
     engine.  Returns ([h_local, W, 4] f32, stats)."""
     if h_local is None:
         h_local = cfg.render.height
     canvas, stats = render_warp_canvas(particles, volumes, camera, light,
                                        cfg, light_volumes=light_volumes,
-                                       y_start=y_start, h_local=h_local)
+                                       y_start=y_start, h_local=h_local,
+                                       slab_banks=slab_banks)
     return _canvas_finish(canvas[:3], canvas[3], cfg, h_local), stats
