@@ -13,6 +13,7 @@ targets the measured bottleneck, not a guess:
 Timing is fetch-synced (docs/DESIGN.md §5: block_until_ready is not a
 reliable fence on the axon relay).
 """
+import functools
 import os
 import sys
 import time
@@ -89,13 +90,16 @@ def main(preset="c3", reps=10):
             bake_march_slabs(l, r.steps, wdt) if l is not None else None
         ))(vP, lvP)
 
-    @jax.jit
-    def f_march(p, v, cam, geom):
+    # NOTE: lvP/sbP are passed as ARGUMENTS, not closures — closed-over
+    # device arrays are shipped as constants in the compile request (the
+    # axon relay rejects multi-hundred-MB request bodies with HTTP 413)
+    @functools.partial(jax.jit, static_argnames=())
+    def f_march(p, v, cam, geom, lv_, sb_):
         imgs, sc = march_warp_pallas(p, v, cam, light, cfg, geom,
-                                     light_volumes=lvP, slab_banks=sbP)
+                                     light_volumes=lv_, slab_banks=sb_)
         return imgs
 
-    images = f_march(pP, vP, cP, geom)
+    images = f_march(pP, vP, cP, geom, lvP, sbP)
     _sync(images)
 
     canvas0 = jax.jit(lambda: canvas_init_pallas(cfg, h_local))()
@@ -106,9 +110,9 @@ def main(preset="c3", reps=10):
                                       order=order)
 
     @jax.jit
-    def f_render(p, v, cam):
-        img, st = render_warp(p, v, cam, light, cfg, light_volumes=lvP,
-                              slab_banks=sbP)
+    def f_render(p, v, cam, lv_, sb_):
+        img, st = render_warp(p, v, cam, light, cfg, light_volumes=lv_,
+                              slab_banks=sb_)
         return img
 
     rays = r.width * r.height
@@ -122,17 +126,19 @@ def main(preset="c3", reps=10):
 
     row("sim", timeit(f_sim, state, reps=reps))
     row("geometry+sort", timeit(f_geom, pP, cP, reps=reps))
-    row("march(pallas)", timeit(f_march, pP, vP, cP, geom, reps=reps))
+    row("march(pallas)", timeit(f_march, pP, vP, cP, geom, lvP, sbP,
+                                reps=reps))
     row("composite(pallas)", timeit(f_comp, canvas0, images, geom, order,
                                     reps=reps))
-    row("render_warp(all)", timeit(f_render, pP, vP, cP, reps=reps))
+    row("render_warp(all)", timeit(f_render, pP, vP, cP, lvP, sbP,
+                                   reps=reps))
 
     # frame donates state: rebind every call, never reuse the donated arg
-    st2, image, stats = loop.frame(state, camera, light, cfg, lv)
+    st2, image, stats = loop.frame(state, camera, light, cfg, lv, sb)
     _sync(image)
     t0 = time.perf_counter()
     for _ in range(reps):
-        st2, image, stats = loop.frame(st2, camera, light, cfg, lv)
+        st2, image, stats = loop.frame(st2, camera, light, cfg, lv, sb)
     _sync(image)
     row("frame(full)", (time.perf_counter() - t0) / reps)
 

@@ -242,6 +242,21 @@ def test_warp_two_class_rects_match_oracle(tiny_cfg, pallas):
     assert d2 < TOL, f"megachunked two-class: max diff {d2}"
 
 
+def test_warp_fused_matches_unfused(tiny_cfg):
+    """The fused march+composite kernel (epilogue RMWs the canvas in
+    place) must produce the same image as the separate march + composite
+    kernels — same math, same depth order, different data movement."""
+    state, camera, light = setup(tiny_cfg)
+    img_f, stats_f = render_only(state, camera, light,
+                                 _warpify(tiny_cfg, warp_pallas=True))
+    img_u, stats_u = render_only(
+        state, camera, light,
+        _warpify(tiny_cfg, warp_pallas=True, warp_fused=False))
+    assert np.abs(np.asarray(img_f, np.float64)
+                  - np.asarray(img_u, np.float64)).max() < 1e-6
+    assert int(stats_f["shift_clamped"]) == int(stats_u["shift_clamped"])
+
+
 def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
     """Shared banks streamed per particle march in VOL-IDX-SORTED order
     (DMA dedup); the composite's ``order`` permutation must still put
@@ -250,7 +265,9 @@ def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
     VMEM-resident (the real trigger is bank size)."""
     import volq.render.kernel as K
     state, camera, light = setup(tiny_cfg)
-    cfg = _warpify(tiny_cfg, warp_pallas=True)
+    # unfused path: the fused kernel marches in depth order and never
+    # vol-sorts, so this test pins warp_fused=False
+    cfg = _warpify(tiny_cfg, warp_pallas=True, warp_fused=False)
     img_ref, _ = render_only(state, camera, light, cfg)
     monkeypatch.setattr(K, "stack_bank_resident", lambda *a: False)
     render_only.clear_cache()   # retrace under the patch
@@ -258,7 +275,8 @@ def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
     assert np.abs(np.asarray(img_ref, np.float64)
                   - np.asarray(img_sorted, np.float64)).max() < 1e-6
     # and through the megachunked path
-    cfg_m = _warpify(tiny_cfg, warp_pallas=True, warp_mega=4)
+    cfg_m = _warpify(tiny_cfg, warp_pallas=True, warp_fused=False,
+                     warp_mega=4)
     img_m, _ = render_only(state, camera, light, cfg_m)
     assert np.abs(np.asarray(img_ref, np.float64)
                   - np.asarray(img_m, np.float64)).max() < 1e-6
@@ -271,8 +289,9 @@ def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
     semantics change: chunked and single-pass renders must agree (tiny
     float drift only — the composite order is identical)."""
     state, camera, light = setup(tiny_cfg)
-    one = _warpify(tiny_cfg, warp_pallas=pallas)
-    many = _warpify(tiny_cfg, warp_pallas=pallas, warp_mega=2)
+    one = _warpify(tiny_cfg, warp_pallas=pallas, warp_fused=False)
+    many = _warpify(tiny_cfg, warp_pallas=pallas, warp_fused=False,
+                    warp_mega=2)
     img_1, _ = render_only(state, camera, light, one)
     img_m, _ = render_only(state, camera, light, many)
     assert np.abs(np.asarray(img_1, np.float64)

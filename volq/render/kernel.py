@@ -62,9 +62,11 @@ def stack_bank_resident(slab_banks, lit: bool) -> bool:
 
 def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                       light: Light, cfg: SceneConfig, geom,
-                      light_volumes=None, slab_banks=None):
+                      light_volumes=None, slab_banks=None,
+                      canvas=None, comp=None):
     """Pallas march + fan-warp.  Returns (images [N, 4, RP, RP] in the
-    working dtype, shift_clamped scalar i32).
+    working dtype, shift_clamped scalar i32) — or, in FUSED mode,
+    (canvas' [4, Hc, Wc], shift_clamped).
 
     ``slab_banks``: optional (density, light-or-None) PRE-LERPED marching
     slab banks [M, S, V, V] (render/warp.bake_march_slabs).  z0(s) and
@@ -73,8 +75,19 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     once per scene (per frame when animated) cuts the kernel's HBM
     traffic from V^3 to S*V^2 per particle (5.3x for config 3) and
     deletes the in-kernel z-lerp.  Bit-identical math to the in-kernel
-    path (same fp32 lerp, same rounding points)."""
+    path (same fp32 lerp, same rounding points).
+
+    ``canvas`` + ``comp`` (from render/warp._fused_comp_offsets) switch
+    on FUSED march+composite: inputs must already be gathered into
+    depth (composite) order, and instead of writing per-particle image
+    blocks the epilogue RMWs each particle's canvas window in place
+    (composite_chunk_pallas's double-buffered scheme: the canvas fetch
+    is issued at the particle's FIRST grid step, overlapping its whole
+    march; write-back overlaps the next particle's march unless their
+    windows intersect).  This deletes the [N, 4, RP, RP] HBM round-trip
+    and the separate composite kernel dispatch entirely."""
     r = cfg.render
+    fused = canvas is not None
     RP = r.warp_rect
     assert RP % 16 == 0, "warp_rect must be a multiple of 16 (bf16 tiles)"
     V = volumes.shape[-1]
@@ -176,7 +189,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         suffices — no dual Cf/Cb, no final select."""
         return jnp.where(flipped == 1, S - 1 - s_raw, s_raw)
 
+    if fused:
+        WH, WW = comp["WH"], comp["WW"]
+        cdt = canvas.dtype
+
     def kernel(vidx_ref, flip_ref, vld_ref, *rest):
+        if fused:
+            oy_ref, ox_ref, dy_ref, dx_ref, ov_ref = rest[:5]
+            rest = rest[5:]
         if use_stack:
             vol_stack = rest[0]
             rest = rest[1:]
@@ -195,10 +215,31 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if lit:
                 lvols_in = rest[:2 * U]
                 rest = rest[2 * U:]
-        (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
-         acc, geo) = rest
+        if fused:
+            (gf, rxu, ryw, camf_r, lightf_r, canvas_in, canvas_out,
+             clamp_out, acc, geo, img, win, pad,
+             sem_in, sem_out) = rest
+        else:
+            (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
+             acc, geo) = rest
         n = pl.program_id(0)
         s = pl.program_id(1)
+
+        if fused:
+            b = jax.lax.rem(n, 2)
+            y = pl.multiple_of(oy_ref[n], 8)
+            x = pl.multiple_of(ox_ref[n], 128)
+
+            def cout_desc(bb):
+                return pltpu.make_async_copy(
+                    win.at[bb],
+                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WW)],
+                    sem_out.at[bb])
+
+            def cin_desc():
+                return pltpu.make_async_copy(
+                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WW)],
+                    win.at[b], sem_in.at[b])
 
         lo_x = gf[0, 0, _G_LOX]
         lo_y = gf[0, 0, _G_LOY]
@@ -265,7 +306,31 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
             seg = jnp.maximum(t1 - t0, 0.0)
             geo[0] = scale * jnp.minimum(dt_raw, seg)   # scale * dt
-            geo[1] = o_z
+
+        if fused:
+            # canvas window fetch, issued at the particle's FIRST grid
+            # step so it overlaps the whole march.  Hazards as in
+            # composite_chunk_pallas: wait the write-back that used this
+            # win buffer (n-2, skip if n-1's overlap guard already did)
+            # and, when the windows intersect, the previous particle's
+            # write-back.
+            @pl.when(s == 0)
+            def _fused_fetch():
+                @pl.when((n >= 2)
+                         & (ov_ref[jnp.maximum(n - 1, 0)] == 0))
+                def _wait_reuse():
+                    cout_desc(b).wait()
+
+                @pl.when(ov_ref[n] == 1)
+                def _wait_overlap():
+                    cout_desc(1 - b).wait()
+
+                cin_desc().start()
+
+                @pl.when(n == 0)
+                def _init_ring():
+                    pad[:] = jnp.zeros((4, WH, WW), jnp.float32)
+                    pad[3] = jnp.ones((WH, WW), jnp.float32)
 
         # ---- marching steps (U unrolled per grid step) -------------------
         # rows that are invalid (dead/culled, or the other size class in
@@ -289,10 +354,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else:
                 gx = ((zw * kx + rx_row) - lo_x) / ext * gsc
                 gy = ((zw * ky + ry_col) - lo_y) / ext * gsc
+            # the ray-origin plane is z = eye_z for BOTH projections, so
+            # the t>0 test is a scalar folded into the row mask; vld > 0
+            # is already guaranteed by the enclosing pl.when
+            tpos = ((zw - eye_z) * szn > 0).astype(jnp.float32)
             inx = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
-            iny = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32)
-            tpos = ((zw - geo[1]) * szn > 0).astype(jnp.float32)
-            msk = iny * inx * tpos * vld                         # [RP, RP]
+            iny = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) * tpos
+            msk = iny * inx                                      # [RP, RP]
 
             gyc = jnp.clip(gy, 0.0, gsc)                         # [RP, 1]
             Wy = jnp.maximum(
@@ -489,37 +557,72 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else:
                 P2, Tpl = img4
                 P1 = P2    # atten == 1: P1 degenerates to P2
-            for ch in range(3):
-                alb = gf[0, 0, _G_ALB_R + ch]
-                img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
-                                         + lightf_r[0, 3 + ch] * P2)
-                                  ).astype(img_out.dtype)
-            img_out[0, 3] = Tpl.astype(img_out.dtype)
+            if fused:
+                for ch in range(3):
+                    alb = gf[0, 0, _G_ALB_R + ch]
+                    img[ch] = alb * (lightf_r[0, ch] * P1
+                                     + lightf_r[0, 3 + ch] * P2)
+                img[3] = Tpl
+            else:
+                for ch in range(3):
+                    alb = gf[0, 0, _G_ALB_R + ch]
+                    img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
+                                             + lightf_r[0, 3 + ch] * P2)
+                                      ).astype(img_out.dtype)
+                img_out[0, 3] = Tpl.astype(img_out.dtype)
 
             @pl.when(n == 0)
             def _zero():
                 clamp_out[0, 0] = 0
             clamp_out[0, 0] = clamp_out[0, 0] + n_clamp
 
+            if fused:
+                # ---- fused composite: RMW this particle's canvas
+                # window in place (see composite_chunk_pallas) ---------
+                pad[:, :RP, :RP] = img[...]
+                dyv = dy_ref[n]
+                dxv = dx_ref[n]
+
+                def place(ch):
+                    return pltpu.roll(pltpu.roll(pad[ch], dyv, axis=0),
+                                      dxv, axis=1)
+
+                cin_desc().wait()
+                wref = win.at[b]
+                Tw = wref[3].astype(jnp.float32)
+                for ch in range(3):
+                    wref[ch] = (wref[ch].astype(jnp.float32)
+                                + Tw * place(ch)).astype(cdt)
+                wref[3] = (Tw * place(3)).astype(cdt)
+                cout_desc(b).start()
+
+                @pl.when(n == N - 1)
+                def _drain_own():
+                    cout_desc(b).wait()
+                if N > 1:
+                    @pl.when((n == N - 1) & (ov_ref[n] == 0))
+                    def _drain_prev():
+                        cout_desc(1 - b).wait()
+
     def vol_spec(u, off):
         # invalid rows (dead/culled or the other size class) map to a
         # CONSTANT block: Pallas re-fetches only when the index changes,
         # so contiguous invalid rows stream no slab DMAs at all (the
         # depth-sorted chunks keep classes nearly contiguous)
-        def imap(n, s, v, f, vl, u=u, off=off):
+        def imap(n, s, v, f, vl, *pf, u=u, off=off):
             z0 = jnp.where(vl[n] == 0, 0,
                            z0_of(s_eff(s * U + u, f[n])) + off)
             return (jnp.where(vl[n] == 0, 0, v[n]), z0, 0, 0)
         return pl.BlockSpec((1, 1, V, V), imap, memory_space=pltpu.VMEM)
 
     def vol_full_spec():
-        def imap(n, s, v, f, vl):
+        def imap(n, s, v, f, vl, *pf):
             return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
         return pl.BlockSpec((1, V, V, V), imap, memory_space=pltpu.VMEM)
 
     def stack_spec():
         # invalid rows map to block 0 (same DMA-dedup trick as vol_spec)
-        def imap(n, s, v, f, vl):
+        def imap(n, s, v, f, vl, *pf):
             return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
         return pl.BlockSpec((1, S, V, V), imap, memory_space=pltpu.VMEM)
 
@@ -527,7 +630,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         # constant block index: the whole [M*S, V, V] bank is fetched
         # exactly once and stays VMEM-resident across the grid
         return pl.BlockSpec((Ms * S, V, V),
-                            lambda n, s, v, f, vl: (0, 0, 0),
+                            lambda n, s, *pf: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     if use_stack:
@@ -537,9 +640,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     else:
         vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
     per_n_smem = pl.BlockSpec((1, 1, _GF),
-                              lambda n, s, v, f, vl: (n, 0, 0),
+                              lambda n, s, *pf: (n, 0, 0),
                               memory_space=pltpu.SMEM)
-    const_smem = pl.BlockSpec((1, 16), lambda n, s, v, f, vl: (0, 0),
+    const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
                               memory_space=pltpu.SMEM)
     def stack_input(bank):
         return bank.reshape(Ms * S, V, V) if stack_resident else bank
@@ -553,14 +656,54 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                    else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((1, 1, RP), lambda n, s, v, f, vl: (n, 0, 0),
+        pl.BlockSpec((1, 1, RP), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RP, 1), lambda n, s, v, f, vl: (n, 0, 0),
+        pl.BlockSpec((1, RP, 1), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
     ]
     inputs += [geomf[:, None], rxu2[:, None], ryw2, camf, lightf]
+
+    flip = (geom["szn"] < 0).astype(jnp.int32)
+    vld_i = geom["valid"].astype(jnp.int32)
+    scratch = [
+        pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,) P2, T
+        pltpu.VMEM((1, RP, RP), jnp.float32),   # geo: scale*dt
+    ]
+
+    if fused:
+        Hc, Wc = comp["Hc"], comp["Wc"]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(N, SG),
+            in_specs=in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 1), lambda n, s, *pf: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=scratch + [
+                pltpu.VMEM((4, RP, RP), jnp.float32),        # img
+                pltpu.VMEM((2, 4, WH, WW), canvas.dtype),    # win x2
+                pltpu.VMEM((4, WH, WW), jnp.float32),        # pad
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        # canvas position: 8 prefetch + tensor inputs, canvas last
+        alias_idx = 8 + len(inputs)
+        canvas_out, clamp = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((4, Hc, Wc), canvas.dtype),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)],
+            input_output_aliases={alias_idx: 0},
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(vidx, flip, vld_i, comp["oy"], comp["ox"], comp["dy"],
+          comp["dx"], comp["ov"], *inputs, canvas)
+        return canvas_out, clamp[0, 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -568,19 +711,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 4, RP, RP),
-                         lambda n, s, v, f, vl: (n, 0, 0, 0),
+                         lambda n, s, *pf: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda n, s, v, f, vl: (0, 0),
+            pl.BlockSpec((1, 1), lambda n, s, *pf: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,) P2, T
-            pltpu.VMEM((2, RP, RP), jnp.float32),   # geo: scale*dt, o_z
-        ],
+        scratch_shapes=scratch,
     )
 
-    flip = (geom["szn"] < 0).astype(jnp.int32)
-    vld_i = geom["valid"].astype(jnp.int32)
     images, clamp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -791,6 +791,26 @@ def _warp_images(images, particles, camera: Camera, light: Light,
     return chunk_fn(args)
 
 
+def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
+    """Canvas-window offsets + pipeline hazards for the FUSED
+    march+composite kernel, computed from DEPTH-ORDERED geometry
+    (mirrors composite_chunk_pallas's host-side setup)."""
+    from volq.render.kernel import _canvas_dims
+    r = cfg.render
+    RP = r.warp_rect
+    WH, WW, Hc, Wc = _canvas_dims(cfg, h_local)
+    oy = jnp.clip(geom_o["sy0"] - jnp.asarray(y_start, jnp.int32) + RP,
+                  0, Hc - WH).astype(jnp.int32)
+    ox = jnp.clip(geom_o["sx0"] + RP, 0, Wc - WW).astype(jnp.int32)
+    oy_al = (oy // 8) * 8
+    ox_al = (ox // 128) * 128
+    ov = ((jnp.abs(oy_al - jnp.roll(oy_al, 1)) < WH)
+          & (jnp.abs(ox_al - jnp.roll(ox_al, 1)) < WW)).astype(jnp.int32)
+    ov = ov.at[0].set(0)
+    return dict(oy=oy_al, ox=ox_al, dy=oy - oy_al, dx=ox - ox_al, ov=ov,
+                WH=WH, WW=WW, Hc=Hc, Wc=Wc)
+
+
 def _canvas_init(cfg: SceneConfig, h_local):
     """XLA-path padded canvas (C [3,Hc,Wc], T [Hc,Wc]); with
     warp_canvas_fp32=False it is stored bf16 (the Pallas kernel does the
@@ -927,6 +947,22 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     else:
         canvas = _canvas_init(cfg, h_local)
         march_vol_sort = False
+
+    if r.warp_pallas and r.warp_fused and not two_class:
+        # FUSED march+composite: one kernel over the whole depth-ordered
+        # particle list — no [N, 4, RP, RP] image round-trip, no separate
+        # composite dispatch, no megachunking (the canvas RMW streams).
+        # Inputs are gathered into depth order host-side (small arrays);
+        # vol-idx sorting doesn't apply (the composite fixes the order),
+        # so shared streamed banks rely on DMA/compute overlap instead.
+        parts_o = jax.tree.map(lambda a: a[order], particles)
+        geom_o = {k: v[order] for k, v in geom.items()}
+        comp = _fused_comp_offsets(geom_o, cfg, y_start, h_local)
+        canvas, sc = march_warp_pallas(
+            parts_o, volumes, camera, light, cfg, geom_o,
+            light_volumes=light_volumes, slab_banks=slab_banks,
+            canvas=canvas, comp=comp)
+        return canvas, dict(stats, shift_clamped=sc)
 
     shift_clamped = jnp.int32(0)
     for m in range(n_mega):

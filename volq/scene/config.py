@@ -117,7 +117,12 @@ class RenderConfig:
     warp_mega: int = 0         # warp engine: particles per depth-sorted
                                # march+composite megachunk (bounds the
                                # [chunk, 4, RP, RP] image buffer; 0 = all
-                               # at once)
+                               # at once; ignored by the fused path)
+    warp_fused: bool = True    # warp engine + pallas: fuse the composite
+                               # into the march kernel's epilogue (no
+                               # per-particle image round-trip); False
+                               # keeps the separate march + composite
+                               # kernels (A/B + test path)
     warp_fp32: bool = True     # warp engine: fp32 weights/slabs (False:
                                # bf16 march + bf16-quantized images)
     warp_canvas_fp32: bool = True  # warp engine: fp32 composite canvas
