@@ -3,26 +3,27 @@
 than literal screen tiles, because the warp factorization makes
 per-particle images the natural work unit; see render/warp.py).
 
-Two kernels:
+The production path is ONE fused kernel per frame
+(``march_warp_pallas`` with ``canvas``/``comp``), grid (N, SG) over the
+DEPTH-ORDERED particle list:
 
-1. ``march_warp_pallas`` — grid (N, S): per (particle, step) the two
-   z-lerped volume slices arrive as auto-pipelined [1,1,V,V] blocks
-   (index map = (vol_idx[n], z0(s)) with z0 computed arithmetically from
-   the step index — no gather anywhere), the hat weight matrices are
-   built on the VPU, two MXU contractions produce the [RP, RP] density
-   (and optical-depth) grid, and the dual OVER accumulators live in VMEM
-   scratch across the step dimension.  At the last step the fan
-   correction (render/warp.py: masked static shifts) runs in VMEM and
-   the warped [4, RP, RP] image block is written out.  Compared with the
-   XLA path this deletes: the per-step HBM round-trips of the [c,RP,RP]
-   accumulators, the separate warp pass over 300+ MB of images, and the
-   light-pass fusion hazard (light sampling is just two more dots in the
-   same VMEM loop body).
-2. ``composite_pallas`` — grid (N,) in depth order: each particle's
-   image block streams in (auto-pipelined) while the kernel RMWs its
-   [4, RP, RP] window of the HBM canvas with explicit DMAs.  The
-   sequential grid IS the global depth order, so the OVER is exact; no
-   tile binning, no caps.
+* per (particle, step-group) the pre-lerped marching slabs arrive as an
+  auto-pipelined [1, S, V, V] block (render/warp.bake_march_slabs; the
+  whole bank stays VMEM-resident when small), hat weight matrices are
+  built on the VPU, and MXU contractions produce the [RP, RP] density
+  (and optical-depth) grid per step; factored scalar-weight accumulators
+  (P1 = sum T*alpha*atten, P2 = sum T*alpha) live in VMEM scratch;
+* the particle's canvas window fetch is issued at its FIRST grid step,
+  overlapping its whole march;
+* the last grid step runs the fan correction (combined-weight masked
+  static shifts over the P planes; T = 1 - P2), expands RGB, and RMWs
+  the [4, WH, WW] canvas window in place — double-buffered so the
+  write-back overlaps the next particle's march unless their windows
+  intersect (precomputed hazards).
+
+The unfused pair (``march_warp_pallas`` without canvas +
+``composite_chunk_pallas`` / ``composite_classes_pallas``) remains for
+the two-size-class path and A/B testing (cfg.render.warp_fused=False).
 
 Semantics are identical to the XLA path (same fp32 decision math, same
 bf16 rounding points); both are held to oracle/warp_cpu.py's 1e-3.
@@ -338,6 +339,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         # the OVER identity set by _init
         @pl.when(vld > 0)
         def _march_steps():
+          # loop-invariant hat-weight iotas, built once per grid step
+          iot_b = jax.lax.broadcasted_iota(
+              jnp.int32, (RP, V), 1).astype(jnp.float32)
+          iot_a = jax.lax.broadcasted_iota(
+              jnp.int32, (V, RP), 0).astype(jnp.float32)
           for u in range(U):
             sei = s_eff(jnp.int32(s * U + u), flipped)
             se = sei.astype(jnp.float32)
@@ -364,15 +370,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             gyc = jnp.clip(gy, 0.0, gsc)                         # [RP, 1]
             Wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(
-                    gyc - jax.lax.broadcasted_iota(
-                        jnp.int32, (RP, V), 1).astype(jnp.float32))
+                0.0, 1.0 - jnp.abs(gyc - iot_b)
             ).astype(wdt)                                        # [RP, V(b)]
             gxc = jnp.clip(gx, 0.0, gsc)                         # [1, RP]
             WxT = jnp.maximum(
-                0.0, 1.0 - jnp.abs(
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (V, RP), 0).astype(jnp.float32) - gxc)
+                0.0, 1.0 - jnp.abs(iot_a - gxc)
             ).astype(wdt)                                        # [V(a), RP]
 
             if use_stack:
@@ -457,7 +459,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         def _write():
             sx0 = gf[0, 0, _G_SX0]
             sy0 = gf[0, 0, _G_SY0]
-            img4 = [acc[p] for p in range(NP)]
+            # T is NOT shifted: T = 1 - P2 exactly (the OVER weights
+            # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
+            # weights sum to 1, so T_warped = 1 - P2_warped -- one less
+            # plane through the shift loop (unlit ships a single plane)
+            img4 = [acc[p] for p in range(NP - 1)]
 
             jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
@@ -553,10 +559,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # RGB expansion (linear in the accumulated planes, so it
             # commutes with the fan warp): C_ch = alb*(lcol*P1 + amb*P2)
             if lit:
-                P1, P2, Tpl = img4
+                P1, P2 = img4
             else:
-                P2, Tpl = img4
+                P2, = img4
                 P1 = P2    # atten == 1: P1 degenerates to P2
+            Tpl = 1.0 - P2
             if fused:
                 for ch in range(3):
                     alb = gf[0, 0, _G_ALB_R + ch]

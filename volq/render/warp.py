@@ -560,18 +560,19 @@ def _march_images(particles: Particles, volumes, camera: Camera,
         Z0 = jnp.zeros((c, RP, RP), jnp.float32)
         T0 = jnp.ones((c, RP, RP), jnp.float32)
         fwd3 = (szn >= 0)[:, None, None]
+        # T is no plane of the output: T = 1 - P2 exactly (the OVER
+        # weights telescope), so the fan warp only ships the P planes
         if lit:
             P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
                 0, S, step, (Z0, Z0, Z0, Z0, T0))
             planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
-                                jnp.where(fwd3, P2f, P2b), T], axis=1)
+                                jnp.where(fwd3, P2f, P2b)], axis=1)
         else:
             P2f, P2b, T = jax.lax.fori_loop(0, S, step, (Z0, Z0, T0))
-            planes = jnp.stack([jnp.where(fwd3, P2f, P2b), T], axis=1)
-        # invalid particles contribute the OVER identity (P = 0, T = 1)
-        ident = jnp.concatenate([jnp.zeros_like(planes[:, :-1]),
-                                 jnp.ones_like(planes[:, :1])], 1)
-        planes = jnp.where(valid[:, None, None, None], planes, ident)
+            planes = jnp.stack([jnp.where(fwd3, P2f, P2b)], axis=1)
+        # invalid particles contribute the OVER identity (P = 0 -> T = 1)
+        planes = jnp.where(valid[:, None, None, None], planes,
+                           jnp.zeros_like(planes))
         return planes.astype(wdt)
 
     chunk = max(min(cfg.render.warp_chunk, N), 1)
@@ -740,7 +741,7 @@ def _warp_images(images, particles, camera: Camera, light: Light,
     W, H = r.width, r.height
     proj = cfg.camera.projection
     N = images.shape[0]
-    lit = images.shape[1] == 3
+    lit = images.shape[1] == 2
     row_fan = needs_row_fan(cfg)
     l_col = jnp.asarray(light.color, jnp.float32)[None, :, None, None]
     l_amb = jnp.asarray(light.ambient, jnp.float32)[None, :, None, None]
@@ -763,12 +764,14 @@ def _warp_images(images, particles, camera: Camera, light: Light,
                 (valid[:, None, None] & clampy).astype(jnp.int32))
             out = _shift_interp(out, dw, K, axis=2)
 
-        # RGB expansion: C_ch = alb_ch * (lcol_ch * P1 + amb_ch * P2)
+        # RGB expansion: C_ch = alb_ch * (lcol_ch * P1 + amb_ch * P2);
+        # T = 1 - P2 (never shifted: the shift weights sum to 1)
         if lit:
-            P1, P2, Tp = out[:, 0], out[:, 1], out[:, 2]
+            P1, P2 = out[:, 0], out[:, 1]
         else:
-            P2, Tp = out[:, 0], out[:, 1]
+            P2 = out[:, 0]
             P1 = P2    # atten == 1
+        Tp = 1.0 - P2
         col = albedo[:, :, None, None] * (l_col * P1[:, None]
                                           + l_amb * P2[:, None])
         out4 = jnp.concatenate([col, Tp[:, None]], axis=1)
