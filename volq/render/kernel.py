@@ -169,10 +169,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # VMEM budget caps the unroll: accumulators/geometry scale with RP^2
     # and each unrolled step double-buffers two [V, V] slab blocks —
     # EXCEPT in slab-stack mode, whose per-particle block is U-independent
-    # (the cap is then only code size; S <= 32 unrolls fully, one grid
-    # step per particle).
+    # (the cap is then code size + the Mosaic temporaries stack; S <= 32
+    # unrolls fully in bf16, but fp32 temporaries are 2x and blow the
+    # 16M scoped-vmem stack at RP=224 — cap fp32 at 8).
     if use_stack and S <= 32:
-        u_cap = S
+        u_cap = S if (not r.warp_fp32 or RP <= 160) else 8
     else:
         u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
     U = next(u for u in (S, 16, 12, 8, 6, 4, 3, 2, 1)
@@ -406,7 +407,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 the a (x) axis: dot1 N-widens to n_banks*V — same math
                 and rounding points as separate pairs, bigger MXU tiles
                 (the V=64 configs were MXU-bound on half-empty tiles).
-                Returns a list of [RP, RP] per bank."""
+                Returns a list of [RP, RP] per bank.  (Merging the two
+                dot2s into one [nb*RP, V] dot does NOT lower: Mosaic
+                rejects re-concatenating lane-offset slices on the
+                sublane axis — "offset mismatch on non-concat dim".)"""
                 t1_ = jax.lax.dot_general(
                     Wy, slab_cat, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,

@@ -397,10 +397,11 @@ def _fetch_slabs(volumes, rows2d, vol_rows, z0, fz, M, V, dtype):
 
 def _march_images(particles: Particles, volumes, camera: Camera,
                   light: Light, cfg: SceneConfig, geom, light_volumes=None):
-    """March every particle's slope grid.  Returns images [N, 4, RP, RP]
-    (channels 0:3 premultiplied color, 3 transmittance; fp32 or bf16 per
-    cfg.render.warp_fp32) plus the shift-clamp stat is handled by the
-    warp pass."""
+    """March every particle's slope grid.  Returns the factored
+    accumulator planes [N, 1|2, RP, RP] — (P2,) unlit or (P1, P2) lit,
+    with T = 1 - P2 recovered after the fan warp — in fp32 or bf16 per
+    cfg.render.warp_fp32.  The RGB expansion and the shift-clamp stat
+    are handled by _warp_images."""
     r = cfg.render
     RP = r.warp_rect
     V = volumes.shape[-1]
@@ -415,8 +416,6 @@ def _march_images(particles: Particles, volumes, camera: Camera,
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     gsc = jnp.float32(V - 1)
     coeffs = _plane_pos_coeffs(camera, proj)
-    l_col = jnp.asarray(light.color, jnp.float32)[:, None, None]
-    l_amb = jnp.asarray(light.ambient, jnp.float32)[:, None, None]
     lit = light_volumes is not None
     rows2d = volumes.reshape(M * V, V * V) if M > ONEHOT_MAX_BANK else None
     lrows2d = (light_volumes.reshape(M * V, V * V)
