@@ -100,7 +100,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # approximation; see render/warp.py)
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     lit = light_volumes is not None
-    NP = 3 if lit else 2   # accumulator planes: (P1, P2, T) / (P2, T)
+    # accumulator planes: lit = (P1, P2, T); unlit = (od,) — the OVER
+    # recurrence TELESCOPES when atten == 1 and the in-bounds mask is
+    # binary (1 - alpha_s = exp(-msk_s * sig_s * geo) exactly), so the
+    # march accumulates ONE optical-depth plane od = sum_s msk*sig and
+    # the epilogue computes P2 = 1 - exp(-od * geo) once.  This deletes
+    # the per-step exp/T/fa VPU work AND lets the per-step dot2s merge
+    # into one [RP, U*V] x [U*V, RP] MXU contraction per grid step.
+    NP = 3 if lit else 1
     from volq.render.warp import needs_row_fan
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
@@ -274,7 +281,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # P2 = sum fa, T) and the RGB expansion happens once in the
             # epilogue (after the fan warp: fewer planes to shift).
             acc[:] = jnp.zeros((NP, RP, RP), jnp.float32)
-            acc[NP - 1] = jnp.ones((RP, RP), jnp.float32)
+            if lit:
+                acc[NP - 1] = jnp.ones((RP, RP), jnp.float32)
             z2 = jnp.zeros((RP, RP), jnp.float32)
             if persp:
                 rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
@@ -345,6 +353,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
               jnp.int32, (RP, V), 1).astype(jnp.float32)
           iot_a = jax.lax.broadcasted_iota(
               jnp.int32, (V, RP), 0).astype(jnp.float32)
+          y_parts, x_parts = [], []
           for u in range(U):
             sei = s_eff(jnp.int32(s * U + u), flipped)
             se = sei.astype(jnp.float32)
@@ -367,16 +376,21 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             tpos = ((zw - eye_z) * szn > 0).astype(jnp.float32)
             inx = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
             iny = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) * tpos
-            msk = iny * inx                                      # [RP, RP]
+            if lit:
+                msk = iny * inx                                  # [RP, RP]
 
             gyc = jnp.clip(gy, 0.0, gsc)                         # [RP, 1]
-            Wy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(gyc - iot_b)
-            ).astype(wdt)                                        # [RP, V(b)]
+            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b))    # [RP, V(b)]
             gxc = jnp.clip(gx, 0.0, gsc)                         # [1, RP]
-            WxT = jnp.maximum(
-                0.0, 1.0 - jnp.abs(iot_a - gxc)
-            ).astype(wdt)                                        # [V(a), RP]
+            WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc))   # [V(a), RP]
+            if not lit:
+                # telescoped mode: the binary in-bounds mask folds into
+                # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
+                # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks
+                Wy = Wy * iny
+                WxT = WxT * inx
+            Wy = Wy.astype(wdt)
+            WxT = WxT.astype(wdt)
 
             if use_stack:
                 if stack_resident:
@@ -438,25 +452,37 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 sig, tau = contract(slab_cat, 2)
                 alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
                 atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
-            else:
-                if use_stack:
-                    sig, = contract(stacked(vol_stack), 1)
-                elif full_vol:
-                    sig, = contract(lerped_ref(vol_full), 1)
-                else:
-                    sig, = contract(lerped(vols_in[2 * u],
-                                           vols_in[2 * u + 1]), 1)
-                alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
-                atten = 1.0
-
-            T = acc[NP - 1]
-            fa = T * alpha
-            if lit:
+                T = acc[2]
+                fa = T * alpha
                 acc[0] = acc[0] + fa * atten
                 acc[1] = acc[1] + fa
+                acc[2] = T - fa
             else:
-                acc[0] = acc[0] + fa
-            acc[NP - 1] = T - fa
+                # telescoped: only dot1 per step; the (t1, WxT) factors
+                # are collected and contracted ONCE per grid step below
+                if use_stack:
+                    slab = stacked(vol_stack)
+                elif full_vol:
+                    slab = lerped_ref(vol_full)
+                else:
+                    slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
+                t1_ = jax.lax.dot_general(
+                    Wy, slab, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                      # [RP, V(a)]
+                y_parts.append(t1_.astype(wdt))
+                x_parts.append(WxT)
+
+          if not lit:
+            # ONE [RP, U*V] x [U*V, RP] MXU contraction per grid step:
+            # K is step-ordered, so the f32 accumulation order matches
+            # the sequential per-step dot2s (and the XLA path)
+            od = jax.lax.dot_general(
+                jnp.concatenate(y_parts, axis=1) if U > 1 else y_parts[0],
+                jnp.concatenate(x_parts, axis=0) if U > 1 else x_parts[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            acc[0] = acc[0] + od
 
         # ---- epilogue: select, fan-warp, write --------------------------
         @pl.when(s == SG - 1)
@@ -467,7 +493,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
             # weights sum to 1, so T_warped = 1 - P2_warped -- one less
             # plane through the shift loop (unlit ships a single plane)
-            img4 = [acc[p] for p in range(NP - 1)]
+            if lit:
+                img4 = [acc[p] for p in range(NP - 1)]
+            else:
+                # telescoped: the accumulated optical depth becomes P2
+                # in ONE exp (geo = scale*dt; invalid rows have od = 0
+                # so P2 = 0 / T = 1, the OVER identity)
+                img4 = [1.0 - jnp.exp(-acc[0] * geo[0])]
 
             jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
@@ -676,10 +708,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     ]
     inputs += [geomf[:, None], rxu2[:, None], ryw2, camf, lightf]
 
-    flip = (geom["szn"] < 0).astype(jnp.int32)
+    # unlit marches ASCENDING for every particle: the telescoped sum is
+    # order-independent, and a constant order keeps the f32 accumulation
+    # order identical to the XLA path.  Lit keeps the per-particle flip
+    # so one front-to-back accumulator suffices.
+    flip = ((geom["szn"] < 0).astype(jnp.int32) if lit
+            else jnp.zeros((N,), jnp.int32))
     vld_i = geom["valid"].astype(jnp.int32)
     scratch = [
-        pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,) P2, T
+        pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,P2,T) | (od,)
         pltpu.VMEM((1, RP, RP), jnp.float32),   # geo: scale*dt
     ]
 

@@ -496,7 +496,7 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             if lit:
                 P1f, P2f, P1b, P2b, T = carry
             else:
-                P2f, P2b, T = carry
+                od = carry
             zeta = (s.astype(jnp.float32) + 0.5) / S
             gz = zeta * gsc
             z0 = jnp.clip(jnp.floor(gz), 0, V - 2).astype(jnp.int32)
@@ -544,9 +544,10 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                                  precision=prec)
                 tau = None
 
-            alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt), 0.0)
-            fa = T * alpha
             if tau is not None:
+                alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt),
+                                  0.0)
+                fa = T * alpha
                 atten = jnp.exp(-sc3 * ext[:, None, None]
                                 * jnp.maximum(tau, 0.0))     # [c,RP,RP]
                 P1f_ = P1f + fa * atten
@@ -554,7 +555,11 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                 P1b_ = alpha * atten + (1.0 - alpha) * P1b
                 P2b_ = alpha + (1.0 - alpha) * P2b
                 return P1f_, P2f_, P1b_, P2b_, T - fa
-            return P2f + fa, alpha + (1.0 - alpha) * P2b, T - fa
+            # unlit: the OVER recurrence TELESCOPES (atten == 1, binary
+            # mask): prod_s (1 - msk*alpha_s) = exp(-sc*dt * sum msk*sig)
+            # exactly, so the march accumulates ONE optical-depth plane
+            # and the exp runs once after the loop (mirrors the kernel).
+            return od + jnp.where(inb, sig, 0.0)
 
         Z0 = jnp.zeros((c, RP, RP), jnp.float32)
         T0 = jnp.ones((c, RP, RP), jnp.float32)
@@ -567,8 +572,10 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
                                 jnp.where(fwd3, P2f, P2b)], axis=1)
         else:
-            P2f, P2b, T = jax.lax.fori_loop(0, S, step, (Z0, Z0, T0))
-            planes = jnp.stack([jnp.where(fwd3, P2f, P2b)], axis=1)
+            od = jax.lax.fori_loop(0, S, step, Z0)
+            # both march directions sum the SAME optical depths, so no
+            # fwd/bwd pair and no direction select is needed unlit
+            planes = (1.0 - jnp.exp(-od * sc3 * dt))[:, None]
         # invalid particles contribute the OVER identity (P = 0 -> T = 1)
         planes = jnp.where(valid[:, None, None, None], planes,
                            jnp.zeros_like(planes))
