@@ -336,6 +336,48 @@ def test_warp_side_view_dominant_axis(eye, axis):
     assert psnr > 27.0, f"side-view PSNR {psnr:.1f} dB"
 
 
+@pytest.mark.parametrize("pallas", [False, True])
+def test_warp_march_rect_matches_oracle(tiny_cfg, pallas):
+    """warp_march_rect: the march runs on a coarse RM x RM grid and the
+    accumulated (pre-exp, linear) planes are hat-upsampled to the rect —
+    a march-resolution decoupling mirrored exactly by the oracle on both
+    the XLA and Pallas paths."""
+    cfg = _warpify(tiny_cfg, warp_march_rect=32, warp_pallas=pallas)
+    state, camera, light = setup(cfg)
+    d, img, stats = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"pallas={pallas}: max diff {d}"
+    # the decoupling is an approximation: bound its cost vs the
+    # full-resolution march of the same scene
+    full, _ = render_only(state, camera, light, _warpify(tiny_cfg))
+    err = np.asarray(full, np.float64) - img
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
+    assert psnr > 35.0, f"RM=32 vs RP=48 PSNR {psnr:.1f} dB"
+
+
+def test_warp_march_rect_lit_and_bf16(tiny_lit_cfg):
+    """RM decoupling under lighting (post-accumulation P1/P2 planes are
+    upsampled) and under bf16 quantization (the oracle mirrors the
+    upsample's rounding points)."""
+    cfg = _warpify(tiny_lit_cfg, warp_march_rect=32, warp_pallas=True)
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"lit RM: max diff {d}"
+
+    cfgq = _warpify(tiny_lit_cfg, warp_march_rect=32, warp_pallas=True,
+                    warp_fp32=False, warp_canvas_fp32=False)
+    state, camera, light = setup(cfgq)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfgq.light.direction))
+    dq, imgq, _ = _diff(cfgq, state, camera, light,
+                        light_volumes=np.asarray(lvol))
+    assert dq < 4.0 / 256.0, f"bf16 RM: max diff {dq}"
+
+
 def test_warp_near_fade_and_straddle_culling():
     """A particle straddling the eye z-plane is culled (counted), and the
     near-fade path matches the oracle."""

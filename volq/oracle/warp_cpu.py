@@ -90,8 +90,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     S = r.steps
     proj = cfg.camera.projection
     quant = not r.warp_fp32
-    from volq.render.warp import needs_row_fan, _march_perm
+    from volq.render.warp import (needs_row_fan, _march_perm, march_rect,
+                                  upsample_weights)
     row_fan = needs_row_fan(cfg)
+    RM = march_rect(cfg)
 
     # rotate into engine coordinates for the static march axis (mirror of
     # render/warp.permute_for_march)
@@ -197,7 +199,11 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         if not valid[pi]:
             continue
         RP_pi = int(RP_arr[pi])
-        uu = np.arange(RP_pi, dtype=np.float32)
+        # march-grid resolution (mirror of march_rect: RM < RP marches
+        # an endpoint-aligned coarse grid, upsampled after the march)
+        RM_pi = RM if RP_pi == RP else RP_pi
+        uu = np.arange(RM_pi, dtype=np.float32) \
+            * f32((RP_pi - 1) / max(RM_pi - 1, 1))
         half = f32(size[pi])
         ext = f32(2.0) * half
         lo = pos[pi] - half
@@ -215,10 +221,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         pxu = f32(sx0[pi]) + uu
         pyw = f32(sy0[pi]) + uu
         rx_u, _ = _ray_coords_np(camera, pxu,
-                                 np.full(RP_pi, py_c[pi], f32) - f32(0.5),
+                                 np.full(RM_pi, py_c[pi], f32) - f32(0.5),
                                  W, H, proj)
         _, ry_w = _ray_coords_np(camera,
-                                 np.full(RP_pi, px_c[pi], f32) - f32(0.5),
+                                 np.full(RM_pi, px_c[pi], f32) - f32(0.5),
                                  pyw, W, H, proj)
 
         # grid ray origins/directions (for dt, seg, tpos)
@@ -258,9 +264,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         o_z = o[..., 2]
 
         # ---- march the grid (f64 accumulation, fp32 positions) -------
-        Cf = np.zeros((3, RP_pi, RP_pi), np.float64)
-        Cb = np.zeros((3, RP_pi, RP_pi), np.float64)
-        Tp = np.ones((RP_pi, RP_pi), np.float64)
+        Cf = np.zeros((3, RM_pi, RM_pi), np.float64)
+        Cb = np.zeros((3, RM_pi, RM_pi), np.float64)
+        Tp = np.ones((RM_pi, RM_pi), np.float64)
+        od = np.zeros((RM_pi, RM_pi), np.float64)
         for s in range(S):
             zeta = f32((s + 0.5) / S)
             gz = zeta * gsc
@@ -302,8 +309,37 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             Cf = Cf + (Tp * alpha)[None] * col
             Cb = a3 * col + (1.0 - a3) * Cb
             Tp = Tp * (1.0 - alpha)
+            if lvol is None:
+                od = od + np.where(inb, sig, 0.0)
 
         Cp = Cf if szn[pi] >= 0 else Cb
+        if RM_pi != RP_pi:
+            # hat-upsample the march grid to the rect (mirror of the
+            # kernel epilogue, same quantization points in quant mode)
+            Uy, Ux = upsample_weights(RP_pi, RM_pi)
+            if quant:
+                Uy, Ux = _q16(Uy), _q16(Ux)
+
+            def _upsample(pln):
+                p_ = _q16(pln) if quant else pln
+                t_ = f64(Uy) @ f64(p_)
+                if quant:
+                    t_ = _q16(t_)
+                return t_ @ f64(Ux)
+
+            if lvol is None:
+                # unlit telescoped form: upsample the LINEAR optical
+                # depth, one exp after (atten == 1 makes the color a
+                # constant multiple of P2)
+                q = _upsample(od * scale * dt)
+                P2 = 1.0 - np.exp(-q)
+                colc = albedo[pi][:, None, None] \
+                    * (l_col + l_amb)[:, None, None]
+                Cp = colc * P2[None]
+                Tp = 1.0 - P2
+            else:
+                Cp = np.stack([_upsample(Cp[ch]) for ch in range(3)])
+                Tp = 1.0 - _upsample(1.0 - Tp)
         img = np.concatenate([Cp, Tp[None]], axis=0)       # [4,RP,RP]
         if quant:
             img = _q16(img)

@@ -40,6 +40,12 @@ from volq.scene.config import SceneConfig
 
 _EPS = 1e-6
 
+# perf-triage switch, NOT a user feature: VOLQ_ABLATE=weights|dots
+# removes one class of in-kernel work so A/B timing can attribute the
+# march cost (results are wrong images; never set outside experiments)
+import os as _os
+_ABLATE = _os.environ.get("VOLQ_ABLATE", "")
+
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
 _G_ALB_R, _G_ALB_G, _G_ALB_B, _G_SX0, _G_SY0, _G_PXC, _G_PYC = range(7, 14)
@@ -91,6 +97,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     fused = canvas is not None
     RP = r.warp_rect
     assert RP % 16 == 0, "warp_rect must be a multiple of 16 (bf16 tiles)"
+    from volq.render.warp import march_rect, needs_row_fan, \
+        upsample_weights
+    RM = march_rect(cfg)
+    assert RM % 16 == 0
     V = volumes.shape[-1]
     S = r.steps
     N = particles.age.shape[0]
@@ -108,7 +118,6 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # the per-step exp/T/fa VPU work AND lets the per-step dot2s merge
     # into one [RP, U*V] x [U*V, RP] MXU contraction per grid step.
     NP = 3 if lit else 1
-    from volq.render.warp import needs_row_fan
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
     gsc = float(V - 1)
@@ -224,6 +233,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if lit:
                 lvols_in = rest[:2 * U]
                 rest = rest[2 * U:]
+        if RM != RP:
+            # the constant upsample weights follow the camera/light
+            # constants in the input order
+            uy_r, ux_r = rest[5], rest[6]
+            rest = rest[:5] + rest[7:]
         if fused:
             (gf, rxu, ryw, camf_r, lightf_r, canvas_in, canvas_out,
              clamp_out, acc, geo, img, win, pad,
@@ -280,10 +294,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # so only scalar-weight planes accumulate (P1 = sum fa*atten,
             # P2 = sum fa, T) and the RGB expansion happens once in the
             # epilogue (after the fan warp: fewer planes to shift).
-            acc[:] = jnp.zeros((NP, RP, RP), jnp.float32)
+            acc[:] = jnp.zeros((NP, RM, RM), jnp.float32)
             if lit:
-                acc[NP - 1] = jnp.ones((RP, RP), jnp.float32)
-            z2 = jnp.zeros((RP, RP), jnp.float32)
+                acc[NP - 1] = jnp.ones((RM, RM), jnp.float32)
+            z2 = jnp.zeros((RM, RM), jnp.float32)
             if persp:
                 rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
                 inv_n = 1.0 / rnorm
@@ -350,9 +364,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         def _march_steps():
           # loop-invariant hat-weight iotas, built once per grid step
           iot_b = jax.lax.broadcasted_iota(
-              jnp.int32, (RP, V), 1).astype(jnp.float32)
+              jnp.int32, (RM, V), 1).astype(jnp.float32)
           iot_a = jax.lax.broadcasted_iota(
-              jnp.int32, (V, RP), 0).astype(jnp.float32)
+              jnp.int32, (V, RM), 0).astype(jnp.float32)
           y_parts, x_parts = [], []
           for u in range(U):
             sei = s_eff(jnp.int32(s * U + u), flipped)
@@ -391,6 +405,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 WxT = WxT * inx
             Wy = Wy.astype(wdt)
             WxT = WxT.astype(wdt)
+            if _ABLATE == "weights":       # constant weights, keep dots
+                Wy = (iot_b * 0.001).astype(wdt)
+                WxT = (iot_a * 0.001).astype(wdt)
 
             if use_stack:
                 if stack_resident:
@@ -466,22 +483,33 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     slab = lerped_ref(vol_full)
                 else:
                     slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
-                t1_ = jax.lax.dot_general(
-                    Wy, slab, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)                      # [RP, V(a)]
+                if _ABLATE == "dot1":      # skip dot1, keep weights+dot2
+                    # (sublane-only broadcast: 2-D broadcasts of a [1,1]
+                    # scalar slice don't lower)
+                    t1_ = Wy * (1.0 + slab[:1, :])
+                else:
+                    t1_ = jax.lax.dot_general(
+                        Wy, slab, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)                  # [RP, V(a)]
                 y_parts.append(t1_.astype(wdt))
                 x_parts.append(WxT)
 
           if not lit:
-            # ONE [RP, U*V] x [U*V, RP] MXU contraction per grid step:
-            # K is step-ordered, so the f32 accumulation order matches
-            # the sequential per-step dot2s (and the XLA path)
-            od = jax.lax.dot_general(
-                jnp.concatenate(y_parts, axis=1) if U > 1 else y_parts[0],
-                jnp.concatenate(x_parts, axis=0) if U > 1 else x_parts[0],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            if _ABLATE == "dot2":          # skip the merged contraction
+                od = sum(p[:, :1] * 0.001 for p in y_parts) \
+                    + sum(p[:1, :].T[:RP] * 0.0 for p in x_parts)
+            else:
+                # ONE [RM, U*V] x [U*V, RM] MXU contraction per grid
+                # step: K is step-ordered, so the f32 accumulation order
+                # matches the sequential per-step dot2s (and XLA)
+                od = jax.lax.dot_general(
+                    jnp.concatenate(y_parts, axis=1) if U > 1
+                    else y_parts[0],
+                    jnp.concatenate(x_parts, axis=0) if U > 1
+                    else x_parts[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
             acc[0] = acc[0] + od
 
         # ---- epilogue: select, fan-warp, write --------------------------
@@ -493,13 +521,29 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
             # weights sum to 1, so T_warped = 1 - P2_warped -- one less
             # plane through the shift loop (unlit ships a single plane)
+            if RM != RP:
+                def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
+                    t_ = jax.lax.dot_general(
+                        uy_r[...], pln.astype(wdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                    return jax.lax.dot_general(
+                        t_.astype(wdt), ux_r[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+            else:
+                def up(pln):
+                    return pln
             if lit:
-                img4 = [acc[p] for p in range(NP - 1)]
+                img4 = [up(acc[p]) for p in range(NP - 1)]
             else:
                 # telescoped: the accumulated optical depth becomes P2
                 # in ONE exp (geo = scale*dt; invalid rows have od = 0
-                # so P2 = 0 / T = 1, the OVER identity)
-                img4 = [1.0 - jnp.exp(-acc[0] * geo[0])]
+                # so P2 = 0 / T = 1, the OVER identity).  The upsample
+                # runs PRE-exp on the linear optical depth.
+                img4 = [1.0 - jnp.exp(-up(acc[0] * geo[0]))]
 
             jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
@@ -699,14 +743,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                    else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((1, 1, RP), lambda n, s, *pf: (n, 0, 0),
+        pl.BlockSpec((1, 1, RM), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RP, 1), lambda n, s, *pf: (n, 0, 0),
+        pl.BlockSpec((1, RM, 1), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
     ]
     inputs += [geomf[:, None], rxu2[:, None], ryw2, camf, lightf]
+    if RM != RP:
+        # constant hat-upsample weights (march grid -> rect), fetched
+        # once (constant index maps) and kept VMEM-resident
+        Uy_np, Ux_np = upsample_weights(RP, RM)
+        in_specs += [
+            pl.BlockSpec((RP, RM), lambda n, s, *pf: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RM, RP), lambda n, s, *pf: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [jnp.asarray(Uy_np).astype(wdt),
+                   jnp.asarray(Ux_np).astype(wdt)]
 
     # unlit marches ASCENDING for every particle: the telescoped sum is
     # order-independent, and a constant order keeps the f32 accumulation
@@ -716,8 +772,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else jnp.zeros((N,), jnp.int32))
     vld_i = geom["valid"].astype(jnp.int32)
     scratch = [
-        pltpu.VMEM((NP, RP, RP), jnp.float32),  # acc: (P1,P2,T) | (od,)
-        pltpu.VMEM((1, RP, RP), jnp.float32),   # geo: scale*dt
+        pltpu.VMEM((NP, RM, RM), jnp.float32),  # acc: (P1,P2,T) | (od,)
+        pltpu.VMEM((1, RM, RM), jnp.float32),   # geo: scale*dt
     ]
 
     if fused:

@@ -211,6 +211,32 @@ def bake_slab_banks(volumes, light_volumes, cfg: SceneConfig):
     return (dens, lite)
 
 
+def march_rect(cfg: SceneConfig) -> int:
+    """Effective march-grid resolution RM.  The march grid only needs to
+    resolve the VOLUME's detail across the footprint (~V voxels), not the
+    screen rect's pixel count — marching RM < RP rays and upsampling the
+    accumulated (linear, pre-exp) planes to the rect in the epilogue cuts
+    the march cost by RM/RP (dot1, weights) and (RM/RP)^2 (dot2)."""
+    r = cfg.render
+    RM = r.warp_march_rect
+    if not RM or RM >= r.warp_rect or r.warp_rect_small:
+        return r.warp_rect
+    return RM
+
+
+def upsample_weights(RP: int, RM: int):
+    """Constant hat-weight pair (Uy [RP, RM], Ux [RM, RP]) resampling the
+    endpoint-aligned RM march grid to the RP rect: screen cell i reads
+    march coordinate p_i = i * (RM-1)/(RP-1) (fp32; mirrored by the
+    oracle).  Rows sum to 1, so T = 1 - P2 survives the upsample."""
+    import numpy as np
+    ratio = np.float32(RM - 1) / np.float32(RP - 1)
+    p = (np.arange(RP, dtype=np.float32) * ratio)[:, None]    # [RP, 1]
+    m = np.arange(RM, dtype=np.float32)[None, :]              # [1, RM]
+    Uy = np.maximum(np.float32(0.0), np.float32(1.0) - np.abs(p - m))
+    return Uy, np.ascontiguousarray(Uy.T)
+
+
 def needs_row_fan(cfg: SceneConfig) -> bool:
     """True when the pixel->ray-coordinate map's row coordinate depends on
     the pixel column (yawed or rolled camera IN ENGINE COORDINATES),
@@ -321,7 +347,12 @@ def _grid_geometry(particles: Particles, camera: Camera, cfg: SceneConfig,
     # CONTINUOUS center row py_c (so the grid depends continuously on the
     # particle state — only border clipping feels rect off-by-ones);
     # row w samples pixel row (sy0+w) at the center column px_c.
-    uu = jnp.arange(RP, dtype=jnp.float32)
+    # With warp_march_rect, the RM march columns are endpoint-aligned
+    # across the same rect (spacing (RP-1)/(RM-1) pixels; == 1.0 exactly
+    # when RM == RP, so the march grid is unchanged then).
+    RM = march_rect(cfg)
+    uu = jnp.arange(RM, dtype=jnp.float32) \
+        * jnp.float32((RP - 1) / max(RM - 1, 1))
     pxu = sx0[:, None].astype(jnp.float32) + uu[None, :]
     pyw = sy0[:, None].astype(jnp.float32) + uu[None, :]
     rx_u, _ = ray_coords(camera, pxu, jnp.broadcast_to(py_c[:, None],
@@ -400,10 +431,14 @@ def _march_images(particles: Particles, volumes, camera: Camera,
     """March every particle's slope grid.  Returns the factored
     accumulator planes [N, 1|2, RP, RP] — (P2,) unlit or (P1, P2) lit,
     with T = 1 - P2 recovered after the fan warp — in fp32 or bf16 per
-    cfg.render.warp_fp32.  The RGB expansion and the shift-clamp stat
-    are handled by _warp_images."""
+    cfg.render.warp_fp32.  The march itself runs on the RM x RM grid
+    (march_rect; == RP unless warp_march_rect is set) and the planes are
+    hat-upsampled to RP at the end — pre-exp for the unlit telescoped
+    optical depth.  The RGB expansion and the shift-clamp stat are
+    handled by _warp_images."""
     r = cfg.render
     RP = r.warp_rect
+    RM = march_rect(cfg)
     V = volumes.shape[-1]
     M = volumes.shape[0]
     S = r.steps
@@ -450,17 +485,17 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             # plane z = eye_z so that t > 0 means "in front of the camera"
             # exactly as in the exact/slab engines.
             ez = jnp.float32(camera.eye[2])
-            o_x = jnp.broadcast_to(rx2 + ez * kx, (c, RP, RP))
-            o_y = jnp.broadcast_to(ry2 + ez * ky, (c, RP, RP))
-            o_z = jnp.full((c, RP, RP), ez, jnp.float32)
+            o_x = jnp.broadcast_to(rx2 + ez * kx, (c, RM, RM))
+            o_y = jnp.broadcast_to(ry2 + ez * ky, (c, RM, RM))
+            o_z = jnp.full((c, RM, RM), ez, jnp.float32)
             d_x = jnp.broadcast_to(jnp.float32(camera.fwd[0]),
-                                   (c, RP, RP))
+                                   (c, RM, RM))
             d_y = jnp.broadcast_to(jnp.float32(camera.fwd[1]),
-                                   (c, RP, RP))
+                                   (c, RM, RM))
             d_z = jnp.broadcast_to(jnp.float32(camera.fwd[2]),
-                                   (c, RP, RP))
+                                   (c, RM, RM))
             dt_raw = jnp.broadcast_to((ext / S)[:, None, None]
-                                      / jnp.abs(fzs), (c, RP, RP))
+                                      / jnp.abs(fzs), (c, RM, RM))
 
         def axis_seg(o, d, lo1, hi1):
             sign = jnp.where(d >= 0, 1.0, -1.0)
@@ -561,21 +596,42 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             # and the exp runs once after the loop (mirrors the kernel).
             return od + jnp.where(inb, sig, 0.0)
 
-        Z0 = jnp.zeros((c, RP, RP), jnp.float32)
-        T0 = jnp.ones((c, RP, RP), jnp.float32)
+        Z0 = jnp.zeros((c, RM, RM), jnp.float32)
+        T0 = jnp.ones((c, RM, RM), jnp.float32)
         fwd3 = (szn >= 0)[:, None, None]
+
+        if RM != RP:
+            # hat-upsample the RM march grid to the RP rect (constant
+            # weights; same quantization points as the kernel epilogue:
+            # plane -> wdt, f32-accumulated dots, intermediate -> wdt)
+            Uy_np, Ux_np = upsample_weights(RP, RM)
+            Uyj = jnp.asarray(Uy_np).astype(wdt)
+            Uxj = jnp.asarray(Ux_np).astype(wdt)
+
+            def up(pl4):          # [c, P, RM, RM] -> [c, P, RP, RP]
+                t_ = jnp.einsum("im,cpmk->cpik", Uyj, pl4.astype(wdt),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                return jnp.einsum("cpik,kj->cpij", t_.astype(wdt), Uxj,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+        else:
+            def up(pl4):
+                return pl4
+
         # T is no plane of the output: T = 1 - P2 exactly (the OVER
         # weights telescope), so the fan warp only ships the P planes
         if lit:
             P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
                 0, S, step, (Z0, Z0, Z0, Z0, T0))
-            planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
-                                jnp.where(fwd3, P2f, P2b)], axis=1)
+            planes = up(jnp.stack([jnp.where(fwd3, P1f, P1b),
+                                   jnp.where(fwd3, P2f, P2b)], axis=1))
         else:
             od = jax.lax.fori_loop(0, S, step, Z0)
             # both march directions sum the SAME optical depths, so no
-            # fwd/bwd pair and no direction select is needed unlit
-            planes = (1.0 - jnp.exp(-od * sc3 * dt))[:, None]
+            # fwd/bwd pair and no direction select is needed unlit; the
+            # upsample happens PRE-exp (od is the linear quantity)
+            planes = 1.0 - jnp.exp(-up((od * sc3 * dt)[:, None]))
         # invalid particles contribute the OVER identity (P = 0 -> T = 1)
         planes = jnp.where(valid[:, None, None, None], planes,
                            jnp.zeros_like(planes))

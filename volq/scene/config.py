@@ -109,6 +109,14 @@ class RenderConfig:
                                # pixels; particles whose footprint fits it
                                # march/composite at ~40% of the large-rect
                                # cost (0 = single class).  Multiple of 16.
+    warp_march_rect: int = 0   # warp engine: march-grid resolution RM
+                               # (RM x RM rays per particle, upsampled to
+                               # warp_rect in the epilogue).  0 / >= RP
+                               # marches at full rect resolution.  Set
+                               # ~V (the voxels spanned by the footprint)
+                               # to stop paying screen-res march cost for
+                               # volume-res detail.  Multiple of 16;
+                               # single-rect-class only.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
@@ -164,6 +172,13 @@ class SceneConfig:
         if r.engine not in ("exact", "slab", "warp"):
             raise ValueError(f"bad render engine {r.engine!r} "
                              "(expected 'exact', 'slab' or 'warp')")
+        if r.warp_march_rect:
+            if r.warp_march_rect % 16:
+                raise ValueError("warp_march_rect must be a multiple "
+                                 "of 16")
+            if r.warp_rect_small:
+                raise ValueError("warp_march_rect requires a single "
+                                 "rect class (warp_rect_small = 0)")
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +241,7 @@ def c2() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
         render=RenderConfig(width=512, height=512, steps=32, engine="warp",
                             warp_fp32=False, warp_rect=224, warp_chunk=64,
+                            warp_march_rect=80,
                             warp_pallas=True, warp_shift_max=16,
                             max_tiles_per_particle=128, max_pairs=4096,
                             max_pairs_per_tile=48, density_scale=9.0),
@@ -250,7 +266,7 @@ def c3() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
                             engine="warp", warp_fp32=False, warp_rect=160,
-                            warp_canvas_fp32=False,
+                            warp_march_rect=128, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
                             near_fade_end=6.0,
@@ -275,7 +291,7 @@ def c4() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=128,
-                            warp_canvas_fp32=False,
+                            warp_march_rect=80, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.5,
                             near_fade_end=7.5,
@@ -302,6 +318,7 @@ def c5() -> SceneConfig:
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=224,
+                            warp_march_rect=80,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=7.0,
