@@ -312,47 +312,56 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             if lvol is None:
                 od = od + np.where(inb, sig, 0.0)
 
+        # ---- planes at MARCH resolution (unlit: the LINEAR telescoped
+        # optical depth q = od*scale*dt; lit: color + transmittance),
+        # quantized at the march handoff like the device ---------------
         Cp = Cf if szn[pi] >= 0 else Cb
+        unlit = lvol is None
+        if unlit:
+            planes = (od * scale * dt)[None]               # [1,RM,RM]
+        else:
+            planes = np.concatenate([Cp, Tp[None]], axis=0)  # [4,RM,RM]
+        if quant:
+            planes = _q16(planes)
+
+        # ---- fan correction at MARCH resolution, march-cell units
+        # (fp32 mirror of warp.fan_shifts; Kc = K/ratio cell clamp) ----
+        ratio = f32((RP_pi - 1) / max(RM_pi - 1, 1))
+        Kc = float(K) / float(ratio)
+        du, dw = _fan_shifts_np(camera, cfg, sx0[pi], sy0[pi],
+                                px_c[pi], py_c[pi], RP_pi, row_fan,
+                                RM=RM_pi)
+        ii = np.arange(RM_pi, dtype=np.float32)
+        du = _edge_clamped_shift_np(du, Kc, RM_pi, ii[None, :])
+        planes = _interp_cols(planes, ii[None, :] + du)
+        if row_fan:
+            dw = _edge_clamped_shift_np(dw, Kc, RM_pi, ii[:, None])
+            planes = _interp_rows(planes, ii[:, None] + dw)
+
+        # ---- hat-upsample march grid -> rect (mirror of the kernel
+        # epilogue, same quantization points in quant mode) ------------
         if RM_pi != RP_pi:
-            # hat-upsample the march grid to the rect (mirror of the
-            # kernel epilogue, same quantization points in quant mode)
             Uy, Ux = upsample_weights(RP_pi, RM_pi)
             if quant:
                 Uy, Ux = _q16(Uy), _q16(Ux)
+            p_ = _q16(planes) if quant else planes
+            t_ = np.einsum("im,pmk->pik", f64(Uy), f64(p_))
+            if quant:
+                t_ = _q16(t_)
+            planes = np.einsum("pik,kj->pij", t_, f64(Ux))
 
-            def _upsample(pln):
-                p_ = _q16(pln) if quant else pln
-                t_ = f64(Uy) @ f64(p_)
-                if quant:
-                    t_ = _q16(t_)
-                return t_ @ f64(Ux)
-
-            if lvol is None:
-                # unlit telescoped form: upsample the LINEAR optical
-                # depth, one exp after (atten == 1 makes the color a
-                # constant multiple of P2)
-                q = _upsample(od * scale * dt)
-                P2 = 1.0 - np.exp(-q)
-                colc = albedo[pi][:, None, None] \
-                    * (l_col + l_amb)[:, None, None]
-                Cp = colc * P2[None]
-                Tp = 1.0 - P2
-            else:
-                Cp = np.stack([_upsample(Cp[ch]) for ch in range(3)])
-                Tp = 1.0 - _upsample(1.0 - Tp)
-        img = np.concatenate([Cp, Tp[None]], axis=0)       # [4,RP,RP]
+        if unlit:
+            # ONE exp at the end of the linear chain (atten == 1 makes
+            # the color a constant multiple of P2)
+            P2 = 1.0 - np.exp(-planes[0])
+            colc = albedo[pi][:, None, None] \
+                * (l_col + l_amb)[:, None, None]
+            img = np.concatenate([colc * P2[None], (1.0 - P2)[None]],
+                                 axis=0)                   # [4,RP,RP]
+        else:
+            img = planes
         if quant:
             img = _q16(img)
-
-        # ---- fan correction (fp32 mirror of warp.fan_shifts) ----------
-        du, dw = _fan_shifts_np(camera, cfg, sx0[pi], sy0[pi],
-                                px_c[pi], py_c[pi], RP_pi, row_fan)
-        ii = np.arange(RP_pi, dtype=np.float32)
-        du = _edge_clamped_shift_np(du, K, RP_pi, ii[None, :])
-        img = _interp_cols(img, ii[None, :] + du)
-        if row_fan:
-            dw = _edge_clamped_shift_np(dw, K, RP_pi, ii[:, None])
-            img = _interp_rows(img, ii[:, None] + dw)
 
         # ---- composite the rect onto the frame ------------------------
         x0, y0 = int(sx0[pi]), int(sy0[pi]) - int(y_start)
@@ -409,9 +418,14 @@ def _safe_div_np(num, den):
     return (num / (sgn * np.maximum(np.abs(den), f32(1e-12)))).astype(f32)
 
 
-def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan):
+def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan,
+                   RM=None):
     """fp32 mirror of render/warp.fan_shifts (closed, cancellation-free
-    form) for ONE particle.  Returns (du [RP,RP], dw [RP,RP] or None)."""
+    form) for ONE particle — evaluated at the RM march positions, in
+    march-cell units.  Returns (du [RM,RM], dw [RM,RM] or None)."""
+    if RM is None:
+        RM = RP
+    ratio = f32((RP - 1) / max(RM - 1, 1))
     r = cfg.render
     W, H = f32(r.width), f32(r.height)
     proj = cfg.camera.projection
@@ -419,11 +433,11 @@ def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan):
     up = np.asarray(camera.up, np.float32)
     fwd = np.asarray(camera.fwd, np.float32)
     sx, sy = f32(camera.scale_x), f32(camera.scale_y)
-    dox_step = f32(2.0) * sx / W
-    doy_step = f32(-2.0) * sy / H
+    dox_step = f32(2.0) * sx / W * ratio
+    doy_step = f32(-2.0) * sy / H * ratio
 
-    iv = np.arange(RP, dtype=np.float32)[None, :]          # [1, RP]
-    jv = np.arange(RP, dtype=np.float32)[:, None]          # [RP, 1]
+    iv = (np.arange(RM, dtype=np.float32) * ratio)[None, :]  # [1, RM]
+    jv = (np.arange(RM, dtype=np.float32) * ratio)[:, None]  # [RM, 1]
     sx0f, sy0f = f32(sx0), f32(sy0)
     doy_j = (f32(py_c) - (sy0f + jv + f32(0.5))) * (f32(2.0) * sy / H)
     dox_i = ((sx0f + iv + f32(0.5)) - f32(px_c)) * (f32(2.0) * sx / W)
@@ -435,13 +449,13 @@ def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan):
         Ax = right[0] - right[2] * kx
         Bx = up[0] - up[2] * kx
         du = np.broadcast_to(_safe_div_np(doy_j * Bx, dox_step * Ax),
-                             (RP, RP)).astype(f32)
+                             (RM, RM)).astype(f32)
         if not row_fan:
             return du, None
         Ay = right[1] - right[2] * ky
         By = up[1] - up[2] * ky
         dw = np.broadcast_to(_safe_div_np(dox_i * Ay, doy_step * By),
-                             (RP, RP)).astype(f32)
+                             (RM, RM)).astype(f32)
         return du, dw
 
     ox_i = ((sx0f + iv + f32(0.5)) * (f32(2.0) / W) - f32(1.0)) * sx

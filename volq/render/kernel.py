@@ -15,9 +15,11 @@ DEPTH-ORDERED particle list:
   (P1 = sum T*alpha*atten, P2 = sum T*alpha) live in VMEM scratch;
 * the particle's canvas window fetch is issued at its FIRST grid step,
   overlapping its whole march;
-* the last grid step runs the fan correction (combined-weight masked
-  static shifts over the P planes; T = 1 - P2), expands RGB, and RMWs
-  the [4, WH, WW] canvas window in place — double-buffered so the
+* the last grid step runs the fan correction AT MARCH RESOLUTION
+  (combined-weight masked static shifts over the P planes in march-cell
+  units; unlit shifts the LINEAR optical depth), hat-upsamples to the
+  rect, applies the single unlit exp (T = 1 - P2), expands RGB, and
+  RMWs the [4, WH, WW] canvas window in place — double-buffered so the
   write-back overlaps the next particle's march unless their windows
   intersect (precomputed hazards).
 
@@ -521,41 +523,36 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
             # weights sum to 1, so T_warped = 1 - P2_warped -- one less
             # plane through the shift loop (unlit ships a single plane)
-            if RM != RP:
-                def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
-                    t_ = jax.lax.dot_general(
-                        uy_r[...], pln.astype(wdt),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
-                    return jax.lax.dot_general(
-                        t_.astype(wdt), ux_r[...],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
-            else:
-                def up(pln):
-                    return pln
+            # planes at MARCH resolution: lit (P1, P2); unlit the
+            # LINEAR optical depth q = od * scale*dt — the whole fan +
+            # upsample chain below stays linear and ONE exp runs at the
+            # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
             if lit:
-                img4 = [up(acc[p]) for p in range(NP - 1)]
+                img4 = [acc[p] for p in range(NP - 1)]
             else:
-                # telescoped: the accumulated optical depth becomes P2
-                # in ONE exp (geo = scale*dt; invalid rows have od = 0
-                # so P2 = 0 / T = 1, the OVER identity).  The upsample
-                # runs PRE-exp on the linear optical depth.
-                img4 = [1.0 - jnp.exp(-up(acc[0] * geo[0]))]
+                img4 = [acc[0] * geo[0]]
 
-            jj = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 0).astype(jnp.float32)
-            ii = jax.lax.broadcasted_iota(jnp.int32, (RP, RP), 1).astype(jnp.float32)
+            # the fan runs at MARCH resolution, in march-cell units:
+            # march column m sits at rect offset m*ratio pixels, the
+            # march spacing is ratio pixels, and the K-pixel clamp is
+            # Kc = K/ratio cells (Km = ceil(Kc) static shift taps) —
+            # (RM/RP)^2 fewer fan divides/fmas AND ~ratio fewer taps
+            ratio = (RP - 1.0) / max(RM - 1, 1)
+            Kc = K / ratio
+            Km = K if RM == RP else -int(-Kc // 1)
+            jj = jax.lax.broadcasted_iota(
+                jnp.int32, (RM, RM), 0).astype(jnp.float32)
+            ii = jax.lax.broadcasted_iota(
+                jnp.int32, (RM, RM), 1).astype(jnp.float32)
             px_c = gf[0, 0, _G_PXC]
             py_c = gf[0, 0, _G_PYC]
             rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
             uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
             sxs, sys = camf_r[0, 12], camf_r[0, 13]
-            iv = ii[0:1, :]                                  # [1, RP]
-            jv = jj[:, 0:1]                                  # [RP, 1]
-            dox_step = 2.0 * sxs / W_
-            doy_step = -2.0 * sys / H_
+            iv = ii[0:1, :] * ratio              # [1, RM] pixel offsets
+            jv = jj[:, 0:1] * ratio              # [RM, 1]
+            dox_step = 2.0 * sxs / W_ * ratio    # ox per march column
+            doy_step = -2.0 * sys / H_ * ratio
 
             def safe_div(num, den):
                 sgn = jnp.where(den >= 0, 1.0, -1.0)
@@ -568,22 +565,22 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if persp:
                 ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
                 oy_c = (1.0 - py_c * (2.0 / H_)) * sys
-                D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RP]
+                D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
                 Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
                 Fy_i = uxc * D_ic - Nx_ic * uzc
                 Gx_i = rxc * D_ic - Nx_ic * rzc
                 D_ip1 = D_ic + dox_step * rzc
-                D_ij = D_ic + doy_j * uzc                    # [RP, RP]
+                D_ij = D_ic + doy_j * uzc                    # [RM, RM]
                 du = safe_div(doy_j * (Fy_i * D_ip1),
                               D_ij * (dox_step * Gx_i))
             else:
                 Ax = rxc - rzc * kx
                 Bx = uxc - uzc * kx
                 du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
-            clamped = ((du < -K) | (du > K - 1e-3)) & (vld > 0)
-            du = jnp.clip(du, -K, K - 1e-3)
+            clamped = ((du < -Kc) | (du > Kc - 1e-3)) & (vld > 0)
+            du = jnp.clip(du, -Kc, Kc - 1e-3)
             du = jnp.maximum(du, -ii)
-            du = jnp.minimum(du, (RP - 1.0 - 1e-3) - ii)
+            du = jnp.minimum(du, (RM - 1.0 - 1e-3) - ii)
             n_clamp = jnp.sum(clamped.astype(jnp.int32))
 
             def shift_interp(planes, delta, axis):
@@ -595,29 +592,30 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 fr = delta - d0
                 pads = []
                 for img in planes:
-                    zpad = jnp.zeros((RP, K) if axis == 1 else (K, RP),
+                    zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, RM),
                                      jnp.float32)
                     pads.append(jnp.concatenate([zpad, img, zpad],
                                                 axis=axis))
-                outs = [jnp.zeros((RP, RP), jnp.float32) for _ in planes]
-                m_prev = jnp.zeros((RP, RP), jnp.float32)
-                for dsh in range(-K, K + 1):
+                outs = [jnp.zeros((RM, RM), jnp.float32) for _ in planes]
+                m_prev = jnp.zeros((RM, RM), jnp.float32)
+                for dsh in range(-Km, Km + 1):
                     m = ((d0 == dsh).astype(jnp.float32)
-                         if dsh <= K - 1 else jnp.float32(0.0))
+                         if dsh <= Km - 1 else jnp.float32(0.0))
                     w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
                     idx = [slice(None)] * 2
-                    idx[axis] = slice(K + dsh, K + dsh + RP)
+                    idx[axis] = slice(Km + dsh, Km + dsh + RM)
                     for p in range(len(planes)):
                         outs[p] = outs[p] + w * pads[p][tuple(idx)]
                     m_prev = m
                 return outs
 
-            img4 = shift_interp(img4, du, axis=1)
+            if _ABLATE != "fan":
+                img4 = shift_interp(img4, du, axis=1)
             if row_fan:
                 if persp:
                     oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
                     ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
-                    D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RP, 1]
+                    D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
                     Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
                     Fx_j = ryc * D_cj - Ny_cj * rzc
                     Gy_j = uyc * D_cj - Ny_cj * uzc
@@ -629,19 +627,36 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     Ay = ryc - rzc * ky
                     By = uyc - uzc * ky
                     dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
-                clamped_y = ((dw < -K) | (dw > K - 1e-3)) & (vld > 0)
-                dw = jnp.clip(dw, -K, K - 1e-3)
+                clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & (vld > 0)
+                dw = jnp.clip(dw, -Kc, Kc - 1e-3)
                 dw = jnp.maximum(dw, -jj)
-                dw = jnp.minimum(dw, (RP - 1.0 - 1e-3) - jj)
+                dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
                 n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
-                img4 = shift_interp(img4, dw, axis=0)
+                if _ABLATE != "fan":
+                    img4 = shift_interp(img4, dw, axis=0)
+
+            # hat-upsample march grid -> rect (identity when RM == RP)
+            if RM != RP:
+                def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
+                    t_ = jax.lax.dot_general(
+                        uy_r[...], pln.astype(wdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                    return jax.lax.dot_general(
+                        t_.astype(wdt), ux_r[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+                img4 = [up(p) for p in img4]
 
             # RGB expansion (linear in the accumulated planes, so it
             # commutes with the fan warp): C_ch = alb*(lcol*P1 + amb*P2)
             if lit:
                 P1, P2 = img4
             else:
-                P2, = img4
+                q, = img4
+                P2 = 1.0 - jnp.exp(-q)
                 P1 = P2    # atten == 1: P1 degenerates to P2
             Tpl = 1.0 - P2
             if fused:

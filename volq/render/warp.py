@@ -431,10 +431,11 @@ def _march_images(particles: Particles, volumes, camera: Camera,
     """March every particle's slope grid.  Returns the factored
     accumulator planes [N, 1|2, RP, RP] — (P2,) unlit or (P1, P2) lit,
     with T = 1 - P2 recovered after the fan warp — in fp32 or bf16 per
-    cfg.render.warp_fp32.  The march itself runs on the RM x RM grid
-    (march_rect; == RP unless warp_march_rect is set) and the planes are
-    hat-upsampled to RP at the end — pre-exp for the unlit telescoped
-    optical depth.  The RGB expansion and the shift-clamp stat are
+    cfg.render.warp_fp32.  The march runs on the RM x RM grid
+    (march_rect; == RP unless warp_march_rect is set) and the planes
+    come back at MARCH resolution: (q,) — the LINEAR telescoped optical
+    depth — unlit, (P1, P2) lit.  The fan warp, the hat-upsample to RP,
+    the unlit exp, the RGB expansion, and the shift-clamp stat are all
     handled by _warp_images."""
     r = cfg.render
     RP = r.warp_rect
@@ -599,39 +600,19 @@ def _march_images(particles: Particles, volumes, camera: Camera,
         Z0 = jnp.zeros((c, RM, RM), jnp.float32)
         T0 = jnp.ones((c, RM, RM), jnp.float32)
         fwd3 = (szn >= 0)[:, None, None]
-
-        if RM != RP:
-            # hat-upsample the RM march grid to the RP rect (constant
-            # weights; same quantization points as the kernel epilogue:
-            # plane -> wdt, f32-accumulated dots, intermediate -> wdt)
-            Uy_np, Ux_np = upsample_weights(RP, RM)
-            Uyj = jnp.asarray(Uy_np).astype(wdt)
-            Uxj = jnp.asarray(Ux_np).astype(wdt)
-
-            def up(pl4):          # [c, P, RM, RM] -> [c, P, RP, RP]
-                t_ = jnp.einsum("im,cpmk->cpik", Uyj, pl4.astype(wdt),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-                return jnp.einsum("cpik,kj->cpij", t_.astype(wdt), Uxj,
-                                  preferred_element_type=jnp.float32,
-                                  precision=prec)
-        else:
-            def up(pl4):
-                return pl4
-
         # T is no plane of the output: T = 1 - P2 exactly (the OVER
-        # weights telescope), so the fan warp only ships the P planes
+        # weights telescope), so the fan warp only ships the P planes.
+        # Unlit ships the LINEAR optical depth q = od * scale*dt — the
+        # fan + upsample chain in _warp_images stays linear and applies
+        # ONE exp at the very end (mirrors the kernel epilogue).
         if lit:
             P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
                 0, S, step, (Z0, Z0, Z0, Z0, T0))
-            planes = up(jnp.stack([jnp.where(fwd3, P1f, P1b),
-                                   jnp.where(fwd3, P2f, P2b)], axis=1))
+            planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
+                                jnp.where(fwd3, P2f, P2b)], axis=1)
         else:
             od = jax.lax.fori_loop(0, S, step, Z0)
-            # both march directions sum the SAME optical depths, so no
-            # fwd/bwd pair and no direction select is needed unlit; the
-            # upsample happens PRE-exp (od is the linear quantity)
-            planes = 1.0 - jnp.exp(-up((od * sc3 * dt)[:, None]))
+            planes = (od * sc3 * dt)[:, None]
         # invalid particles contribute the OVER identity (P = 0 -> T = 1)
         planes = jnp.where(valid[:, None, None, None], planes,
                            jnp.zeros_like(planes))
@@ -709,10 +690,17 @@ def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
     well-conditioned.  The kernel epilogue and the oracle mirror this
     formula exactly.  Orthographic rx is affine, so du/dw are one-liners.
 
-    Shapes: inputs [c]; returns (du [c,RP,RP], dw [c,RP,RP] or None).
+    With warp_march_rect the shifts are evaluated at the RM march-grid
+    positions and expressed in MARCH CELLS (march column m sits at rect
+    offset m*ratio pixels; spacing ratio pixels) — the fan then runs on
+    the coarse grid BEFORE the upsample.
+
+    Shapes: inputs [c]; returns (du [c,RM,RM], dw [c,RM,RM] or None).
     """
     r = cfg.render
     RP = r.warp_rect
+    RM = march_rect(cfg)
+    ratio = jnp.float32((RP - 1) / max(RM - 1, 1))
     W, H = float(r.width), float(r.height)
     proj = cfg.camera.projection
     row_fan = needs_row_fan(cfg)
@@ -720,10 +708,10 @@ def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
     ux, uy, uz = camera.up[0], camera.up[1], camera.up[2]
     fx, fy, fz = camera.fwd[0], camera.fwd[1], camera.fwd[2]
     sx, sy = camera.scale_x, camera.scale_y
-    dox = 2.0 * sx / W                       # ox step per pixel column
-    doy_step = -2.0 * sy / H                 # oy step per pixel row
+    dox = 2.0 * sx / W * ratio              # ox step per march column
+    doy_step = -2.0 * sy / H * ratio        # oy step per march row
 
-    iv = jnp.arange(RP, dtype=jnp.float32)
+    iv = jnp.arange(RM, dtype=jnp.float32) * ratio
     ndx_i = (sx0[:, None].astype(jnp.float32) + iv + 0.5) * (2.0 / W) - 1.0
     ox_i = ndx_i * sx                                       # [c,RP]
     ndy_j = 1.0 - (sy0[:, None].astype(jnp.float32) + iv + 0.5) * (2.0 / H)
@@ -743,14 +731,14 @@ def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
         Bx = ux - uz * kx
         du = jnp.broadcast_to(
             _safe_div(doy_j * Bx, dox * Ax)[:, :, None],
-            doy_j.shape[:1] + (RP, RP))
+            doy_j.shape[:1] + (RM, RM))
         if not row_fan:
             return du, None
         Ay = ry_ - rz_ * ky
         By = uy - uz * ky
         dw = jnp.broadcast_to(
             _safe_div(dox_i * Ay, doy_step * By)[:, None, :],
-            doy_j.shape[:1] + (RP, RP))
+            doy_j.shape[:1] + (RM, RM))
         return du, dw
 
     ndy_c = 1.0 - py_c * (2.0 / H)
@@ -791,47 +779,73 @@ def _edge_clamped_shift(raw, K, RP, axis_idx):
 
 def _warp_images(images, particles, camera: Camera, light: Light,
                  cfg: SceneConfig, geom):
-    """Fan correction: resample each particle's accumulated planes
-    ([c, 2|3, RP, RP] from _march_images) from grid columns to true
-    pixel rays (and rows, for yawed cameras), THEN expand to the
-    premultiplied RGBA image (the expansion is linear in the planes, so
-    it commutes with the warp — and 2-3 planes shift cheaper than 4
-    channels).  Returns (images [N, 4, RP, RP], shift_clamped count)."""
+    """Fan correction + upsample + RGB expansion: resample each
+    particle's accumulated planes ([N, 1|2, RM, RM] from _march_images;
+    unlit = the LINEAR optical depth) from grid columns to true pixel
+    rays (and rows, for yawed cameras) AT MARCH RESOLUTION in
+    march-cell units, hat-upsample to the rect, apply the single unlit
+    exp, then expand to the premultiplied RGBA image (the expansion is
+    linear in the planes, so it commutes with the warp — and 1-2 planes
+    shift cheaper than 4 channels).  Returns (images [N, 4, RP, RP],
+    shift_clamped count)."""
     r = cfg.render
     RP = r.warp_rect
+    RM = march_rect(cfg)
+    ratio = (RP - 1) / max(RM - 1, 1)
     K = r.warp_shift_max
+    # the fan runs at MARCH resolution in march-cell units: the K-pixel
+    # clamp is Kc = K/ratio cells, Km = ceil(Kc) static shift taps
+    Kc = K / ratio
+    Km = K if RM == RP else -int(-Kc // 1)
     W, H = r.width, r.height
     proj = cfg.camera.projection
     N = images.shape[0]
     lit = images.shape[1] == 2
     row_fan = needs_row_fan(cfg)
+    wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     l_col = jnp.asarray(light.color, jnp.float32)[None, :, None, None]
     l_amb = jnp.asarray(light.ambient, jnp.float32)[None, :, None, None]
+    if RM != RP:
+        Uy_np, Ux_np = upsample_weights(RP, RM)
+        Uyj = jnp.asarray(Uy_np).astype(wdt)
+        Uxj = jnp.asarray(Ux_np).astype(wdt)
 
     def chunk_fn(args):
         img, albedo, sx0, sy0, px_c, py_c, rx_u, ry_w, valid = args
         du_raw, dw_raw = fan_shifts(camera, cfg, sx0, sy0, px_c, py_c)
 
-        iif = jnp.arange(RP, dtype=jnp.float32)
-        du, clampx = _edge_clamped_shift(du_raw, K, RP,
+        iif = jnp.arange(RM, dtype=jnp.float32)
+        du, clampx = _edge_clamped_shift(du_raw, Kc, RM,
                                          iif[None, None, :])
         clamp_total = jnp.sum((valid[:, None, None] & clampx)
                               .astype(jnp.int32))
-        out = _shift_interp(img, du, K, axis=3)
+        out = _shift_interp(img, du, Km, axis=3)
 
         if dw_raw is not None:
-            dw, clampy = _edge_clamped_shift(dw_raw, K, RP,
+            dw, clampy = _edge_clamped_shift(dw_raw, Kc, RM,
                                              iif[None, :, None])
             clamp_total = clamp_total + jnp.sum(
                 (valid[:, None, None] & clampy).astype(jnp.int32))
-            out = _shift_interp(out, dw, K, axis=2)
+            out = _shift_interp(out, dw, Km, axis=2)
+
+        if RM != RP:
+            # hat-upsample march grid -> rect (same quantization points
+            # as the kernel epilogue: plane -> wdt, f32-accum dots)
+            t_ = jnp.einsum("im,cpmk->cpik", Uyj, out.astype(wdt),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            out = jnp.einsum("cpik,kj->cpij", t_.astype(wdt), Uxj,
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
 
         # RGB expansion: C_ch = alb_ch * (lcol_ch * P1 + amb_ch * P2);
-        # T = 1 - P2 (never shifted: the shift weights sum to 1)
+        # T = 1 - P2 (never shifted: the shift weights sum to 1).
+        # Unlit: the warped plane is the LINEAR optical depth — ONE exp.
         if lit:
             P1, P2 = out[:, 0], out[:, 1]
         else:
-            P2 = out[:, 0]
+            P2 = 1.0 - jnp.exp(-out[:, 0])
             P1 = P2    # atten == 1
         Tp = 1.0 - P2
         col = albedo[:, :, None, None] * (l_col * P1[:, None]
