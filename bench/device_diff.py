@@ -115,12 +115,36 @@ def case_c3_class_warp_lit():
         TOL_BF16_FUSED_LIT
 
 
+def case_c4_class_center_light():
+    """A config-4-class scene (1080p, shared 64^3 bank, center-sampled
+    light mode — the c4/c5 production lighting path) shrunk to 256
+    particles for oracle speed."""
+    import jax.numpy as jnp
+    from volq.scene.config import c4
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c4()
+    cfg = dataclasses.replace(cfg, n_particles=256)
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c4class_warp_pallas_bf16_centerlit_1080p", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
 def main():
     import jax
     platform = jax.devices()[0].platform
     ok = True
     for case in (case_c1_exact, case_c2_warp_fp32, case_c2_warp,
-                 case_c2_slab, case_c3_class_warp_lit):
+                 case_c2_slab, case_c3_class_warp_lit,
+                 case_c4_class_center_light):
         name, d, budget = case()
         ok = ok and d < budget
         print(json.dumps({"case": name, "platform": platform,

@@ -79,6 +79,7 @@ def bench_c5_shard_slice(n_frames: int = 10):
     from volq.render.warp import render_warp_canvas, _canvas_finish
     from volq.sim.step import sim_step
     from volq.volume.bake import bake_bank_4d
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
 
     cfg = PRESETS["c5"]()
     state, camera, light = setup(cfg)
@@ -99,13 +100,20 @@ def bench_c5_shard_slice(n_frames: int = 10):
         # stand-in for the all_gather: tile the local bake to full size
         volumes = jnp.tile(local, (n_shards, 1, 1, 1))
         state = state._replace(volumes=volumes)
+        # in-frame light bake, exactly as dist/sharded.py's shard body
+        light_volumes = None
+        if cfg.render.light_steps > 0:
+            light_volumes = bake_light_volumes(
+                volumes, jnp.asarray(light.direction, jnp.float32),
+                axis=dominant_axis(cfg.light.direction))
         p = state.particles
         z = jnp.where(p.age < p.lifetime,
                       (p.pos - camera.eye) @ camera.fwd, jnp.inf)
         ids = jnp.argsort(z, stable=True).astype(jnp.int32)[:n_p]
         parts_k = jax.tree.map(lambda a: a[ids], p)
         canvas, stats = render_warp_canvas(parts_k, volumes, camera,
-                                           light, cfg)
+                                           light, cfg,
+                                           light_volumes=light_volumes)
         img = _canvas_finish(canvas[:3], canvas[3], cfg,
                              cfg.render.height)
         return state, img, stats

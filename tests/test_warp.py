@@ -378,6 +378,33 @@ def test_warp_march_rect_lit_and_bf16(tiny_lit_cfg):
     assert dq < 4.0 / 256.0, f"bf16 RM: max diff {dq}"
 
 
+@pytest.mark.parametrize("pallas", [False, True])
+def test_warp_center_light_mode(tiny_lit_cfg, pallas):
+    """light_mode="center": self-shadowing samples the baked light
+    volume ONCE per ray at the particle's mid-depth (telescoped march +
+    per-ray shadow gradients), mirrored exactly by the oracle; shadows
+    must still darken vs unlit."""
+    cfg = _warpify(tiny_lit_cfg, light_mode="center", warp_pallas=pallas)
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"pallas={pallas}: max diff {d}"
+    unlit = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, light_steps=0))
+    img_unlit, _ = render_only(state, camera, light, unlit)
+    assert np.asarray(img_unlit)[..., :3].sum() > img[..., :3].sum()
+    # and stays in the same quality class as per-step light marching
+    per_step = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, light_mode="march"))
+    img_m, _ = render_only(state, camera, light, per_step)
+    err = np.asarray(img_m, np.float64) - img
+    psnr = 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
+    assert psnr > 30.0, f"center vs march PSNR {psnr:.1f} dB"
+
+
 def test_warp_near_fade_and_straddle_culling():
     """A particle straddling the eye z-plane is culled (counted), and the
     near-fade path matches the oracle."""

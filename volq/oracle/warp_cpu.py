@@ -94,6 +94,8 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
                                   upsample_weights)
     row_fan = needs_row_fan(cfg)
     RM = march_rect(cfg)
+    centr = (light_volumes is not None) and r.light_mode == "center"
+    MID = S // 2
 
     # rotate into engine coordinates for the static march axis (mirror of
     # render/warp.permute_for_march)
@@ -268,6 +270,7 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         Cb = np.zeros((3, RM_pi, RM_pi), np.float64)
         Tp = np.ones((RM_pi, RM_pi), np.float64)
         od = np.zeros((RM_pi, RM_pi), np.float64)
+        tau_mid = np.zeros((RM_pi, RM_pi), np.float64)
         for s in range(S):
             zeta = f32((s + 0.5) / S)
             gz = zeta * gsc
@@ -309,8 +312,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             Cf = Cf + (Tp * alpha)[None] * col
             Cb = a3 * col + (1.0 - a3) * Cb
             Tp = Tp * (1.0 - alpha)
-            if lvol is None:
+            if lvol is None or centr:
                 od = od + np.where(inb, sig, 0.0)
+            if centr and s == MID:
+                tau_mid = np.where(inb, tau, 0.0)
 
         # ---- planes at MARCH resolution (unlit: the LINEAR telescoped
         # optical depth q = od*scale*dt; lit: color + transmittance),
@@ -319,6 +324,12 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         unlit = lvol is None
         if unlit:
             planes = (od * scale * dt)[None]               # [1,RM,RM]
+        elif centr:
+            # center light mode: (q, tau') both LINEAR planes — one
+            # light sample per ray at the particle's mid-depth step
+            planes = np.stack([od * scale * dt,
+                               (scale * float(ext))
+                               * np.maximum(tau_mid, 0.0)])
         else:
             planes = np.concatenate([Cp, Tp[None]], axis=0)  # [4,RM,RM]
         if quant:
@@ -358,6 +369,14 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
                 * (l_col + l_amb)[:, None, None]
             img = np.concatenate([colc * P2[None], (1.0 - P2)[None]],
                                  axis=0)                   # [4,RP,RP]
+        elif centr:
+            P2 = 1.0 - np.exp(-planes[0])
+            A = np.exp(-planes[1])        # per-ray mid-depth atten
+            Cc = albedo[pi][:, None, None] * (l_col[:, None, None]
+                                              * A[None]
+                                              + l_amb[:, None, None]) \
+                * P2[None]
+            img = np.concatenate([Cc, (1.0 - P2)[None]], axis=0)
         else:
             img = planes
         if quant:

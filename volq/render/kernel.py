@@ -112,14 +112,21 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # approximation; see render/warp.py)
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
     lit = light_volumes is not None
-    # accumulator planes: lit = (P1, P2, T); unlit = (od,) — the OVER
-    # recurrence TELESCOPES when atten == 1 and the in-bounds mask is
-    # binary (1 - alpha_s = exp(-msk_s * sig_s * geo) exactly), so the
-    # march accumulates ONE optical-depth plane od = sum_s msk*sig and
-    # the epilogue computes P2 = 1 - exp(-od * geo) once.  This deletes
-    # the per-step exp/T/fa VPU work AND lets the per-step dot2s merge
-    # into one [RP, U*V] x [U*V, RP] MXU contraction per grid step.
-    NP = 3 if lit else 1
+    # light_mode="center": self-shadowing samples the baked light volume
+    # ONCE per ray at the particle's mid-depth step (per-ray shadow
+    # gradients without per-step light work) — the march then telescopes
+    # exactly like unlit, plus one tau plane captured at MID.
+    center = lit and r.light_mode == "center"
+    # accumulator planes: per-step lit = (P1, P2, T); center = (od,
+    # tau_mid); unlit = (od,) — the OVER recurrence TELESCOPES when
+    # atten == 1 and the in-bounds mask is binary (1 - alpha_s =
+    # exp(-msk_s * sig_s * geo) exactly), so the march accumulates ONE
+    # optical-depth plane od = sum_s msk*sig and the epilogue computes
+    # P2 = 1 - exp(-od * geo) once.  This deletes the per-step exp/T/fa
+    # VPU work AND lets the per-step dot2s merge into one
+    # [RM, U*V] x [U*V, RM] MXU contraction per grid step.
+    NP = 3 if (lit and not center) else (2 if center else 1)
+    MID = S // 2
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
     gsc = float(V - 1)
@@ -297,7 +304,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # P2 = sum fa, T) and the RGB expansion happens once in the
             # epilogue (after the fan warp: fewer planes to shift).
             acc[:] = jnp.zeros((NP, RM, RM), jnp.float32)
-            if lit:
+            if lit and not center:
                 acc[NP - 1] = jnp.ones((RM, RM), jnp.float32)
             z2 = jnp.zeros((RM, RM), jnp.float32)
             if persp:
@@ -392,14 +399,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             tpos = ((zw - eye_z) * szn > 0).astype(jnp.float32)
             inx = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
             iny = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) * tpos
-            if lit:
+            if lit and not center:
                 msk = iny * inx                                  # [RP, RP]
 
             gyc = jnp.clip(gy, 0.0, gsc)                         # [RP, 1]
             Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b))    # [RP, V(b)]
             gxc = jnp.clip(gx, 0.0, gsc)                         # [1, RP]
             WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc))   # [V(a), RP]
-            if not lit:
+            if not lit or center:
                 # telescoped mode: the binary in-bounds mask folds into
                 # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
                 # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks
@@ -455,7 +462,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     preferred_element_type=jnp.float32, precision=prec)
                     for k in range(n_banks)]
 
-            if lit:
+            if lit and not center:
                 if use_stack:
                     slab_cat = jnp.concatenate(
                         [stacked(vol_stack), stacked(lvol_stack)], axis=0)
@@ -497,7 +504,33 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 y_parts.append(t1_.astype(wdt))
                 x_parts.append(WxT)
 
-          if not lit:
+                if center and u == MID % U:
+                    # ONE light sample per ray, at the particle's
+                    # mid-depth step (masked weights -> tau = 0 out of
+                    # bounds, i.e. atten = 1 where P2 = 0 anyway)
+                    @pl.when(s == MID // U)
+                    def _tau_mid(Wy=Wy, WxT=WxT):
+                        if use_stack:
+                            if stack_resident:
+                                ls = stacked(lvol_stack)
+                            else:
+                                ls = lvol_stack[0, 0]    # mid-slab block
+                        elif full_vol:
+                            ls = lerped_ref(lvol_full)
+                        else:
+                            ls = lerped(lvols_in[2 * u],
+                                        lvols_in[2 * u + 1])
+                        t1l = jax.lax.dot_general(
+                            Wy, ls, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                        acc[1] = jax.lax.dot_general(
+                            t1l.astype(wdt), WxT,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+
+          if not lit or center:
             if _ABLATE == "dot2":          # skip the merged contraction
                 od = sum(p[:, :1] * 0.001 for p in y_parts) \
                     + sum(p[:1, :].T[:RP] * 0.0 for p in x_parts)
@@ -527,8 +560,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # LINEAR optical depth q = od * scale*dt — the whole fan +
             # upsample chain below stays linear and ONE exp runs at the
             # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
-            if lit:
+            if lit and not center:
                 img4 = [acc[p] for p in range(NP - 1)]
+            elif center:
+                # (q, tau') both LINEAR through the fan + upsample;
+                # atten = exp(-tau') once at the end
+                img4 = [acc[0] * geo[0],
+                        (scale * ext) * jnp.maximum(acc[1], 0.0)]
             else:
                 img4 = [acc[0] * geo[0]]
 
@@ -652,8 +690,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             # RGB expansion (linear in the accumulated planes, so it
             # commutes with the fan warp): C_ch = alb*(lcol*P1 + amb*P2)
-            if lit:
+            if lit and not center:
                 P1, P2 = img4
+            elif center:
+                q, tp = img4
+                P2 = 1.0 - jnp.exp(-q)
+                P1 = jnp.exp(-tp) * P2   # per-ray mid-depth attenuation
             else:
                 q, = img4
                 P2 = 1.0 - jnp.exp(-q)
@@ -753,9 +795,20 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     inputs = [stack_input(slab_banks[0]) if use_stack
               else volumes] * len(vol_specs)
     if lit:
-        in_specs += vol_specs
-        inputs += [stack_input(slab_banks[1]) if use_stack
-                   else light_volumes] * len(vol_specs)
+        if center and use_stack and not stack_resident:
+            # center mode reads ONE light slab per particle: stream a
+            # [1, 1, V, V] mid-slab block instead of the full stack
+            def stack_mid_spec():
+                def imap(n, s, v, f, vl, *pf):
+                    return (jnp.where(vl[n] == 0, 0, v[n]), MID, 0, 0)
+                return pl.BlockSpec((1, 1, V, V), imap,
+                                    memory_space=pltpu.VMEM)
+            in_specs += [stack_mid_spec()]
+            inputs += [slab_banks[1]]
+        else:
+            in_specs += vol_specs
+            inputs += [stack_input(slab_banks[1]) if use_stack
+                       else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
         pl.BlockSpec((1, 1, RM), lambda n, s, *pf: (n, 0, 0),
@@ -783,7 +836,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # order-independent, and a constant order keeps the f32 accumulation
     # order identical to the XLA path.  Lit keeps the per-particle flip
     # so one front-to-back accumulator suffices.
-    flip = ((geom["szn"] < 0).astype(jnp.int32) if lit
+    flip = ((geom["szn"] < 0).astype(jnp.int32) if (lit and not center)
             else jnp.zeros((N,), jnp.int32))
     vld_i = geom["valid"].astype(jnp.int32)
     scratch = [

@@ -453,6 +453,8 @@ def _march_images(particles: Particles, volumes, camera: Camera,
     gsc = jnp.float32(V - 1)
     coeffs = _plane_pos_coeffs(camera, proj)
     lit = light_volumes is not None
+    center = lit and r.light_mode == "center"
+    MID = S // 2
     rows2d = volumes.reshape(M * V, V * V) if M > ONEHOT_MAX_BANK else None
     lrows2d = (light_volumes.reshape(M * V, V * V)
                if lit and M > ONEHOT_MAX_BANK else None)
@@ -529,8 +531,10 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             # expansion happens once in _warp_images AFTER the fan warp
             # (fewer planes to shift, no [c,3,RP,RP] channel tensors in
             # the loop).
-            if lit:
+            if lit and not center:
                 P1f, P2f, P1b, P2b, T = carry
+            elif center:
+                od, tau_c = carry
             else:
                 od = carry
             zeta = (s.astype(jnp.float32) + 0.5) / S
@@ -580,6 +584,14 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                                  precision=prec)
                 tau = None
 
+            if center:
+                # telescoped march + ONE light sample kept at the mid
+                # step (the per-step tau is computed then discarded off
+                # MID — this is the reference path, clarity over speed)
+                od_ = od + jnp.where(inb, sig, 0.0)
+                tau_c_ = jnp.where(s == MID,
+                                   jnp.where(inb, tau, 0.0), tau_c)
+                return od_, tau_c_
             if tau is not None:
                 alpha = jnp.where(inb, 1.0 - jnp.exp(-sig * sc3 * dt),
                                   0.0)
@@ -605,11 +617,17 @@ def _march_images(particles: Particles, volumes, camera: Camera,
         # Unlit ships the LINEAR optical depth q = od * scale*dt — the
         # fan + upsample chain in _warp_images stays linear and applies
         # ONE exp at the very end (mirrors the kernel epilogue).
-        if lit:
+        if lit and not center:
             P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
                 0, S, step, (Z0, Z0, Z0, Z0, T0))
             planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
                                 jnp.where(fwd3, P2f, P2b)], axis=1)
+        elif center:
+            od, tau_c = jax.lax.fori_loop(0, S, step, (Z0, Z0))
+            planes = jnp.stack(
+                [od * sc3 * dt,
+                 (sc3 * ext[:, None, None]) * jnp.maximum(tau_c, 0.0)],
+                axis=1)
         else:
             od = jax.lax.fori_loop(0, S, step, Z0)
             planes = (od * sc3 * dt)[:, None]
@@ -800,7 +818,8 @@ def _warp_images(images, particles, camera: Camera, light: Light,
     W, H = r.width, r.height
     proj = cfg.camera.projection
     N = images.shape[0]
-    lit = images.shape[1] == 2
+    center = images.shape[1] == 2 and r.light_mode == "center"
+    lit = images.shape[1] == 2 and not center
     row_fan = needs_row_fan(cfg)
     wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
@@ -844,6 +863,9 @@ def _warp_images(images, particles, camera: Camera, light: Light,
         # Unlit: the warped plane is the LINEAR optical depth — ONE exp.
         if lit:
             P1, P2 = out[:, 0], out[:, 1]
+        elif center:
+            P2 = 1.0 - jnp.exp(-out[:, 0])
+            P1 = jnp.exp(-out[:, 1]) * P2  # per-ray mid-depth atten
         else:
             P2 = 1.0 - jnp.exp(-out[:, 0])
             P1 = P2    # atten == 1

@@ -109,6 +109,14 @@ class RenderConfig:
                                # pixels; particles whose footprint fits it
                                # march/composite at ~40% of the large-rect
                                # cost (0 = single class).  Multiple of 16.
+    light_mode: str = "march"  # baked-light sampling in the slab/warp
+                               # fast paths: "march" samples the light
+                               # volume at EVERY step (per-sample
+                               # attenuation, like the exact engine);
+                               # "center" samples it ONCE per ray at the
+                               # particle's mid-depth (warp engine only:
+                               # per-ray shadow gradients, telescoped
+                               # march, ~2x lit-march cost cut)
     warp_march_rect: int = 0   # warp engine: march-grid resolution RM
                                # (RM x RM rays per particle, upsampled to
                                # warp_rect in the epilogue).  0 / >= RP
@@ -172,6 +180,9 @@ class SceneConfig:
         if r.engine not in ("exact", "slab", "warp"):
             raise ValueError(f"bad render engine {r.engine!r} "
                              "(expected 'exact', 'slab' or 'warp')")
+        if r.light_mode not in ("march", "center"):
+            raise ValueError(f"bad light_mode {r.light_mode!r} "
+                             "(expected 'march' or 'center')")
         if r.warp_march_rect:
             if r.warp_march_rect % 16:
                 raise ValueError("warp_march_rect must be a multiple "
@@ -292,7 +303,8 @@ def c4() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=128,
-                            warp_march_rect=80, warp_canvas_fp32=False,
+                            warp_march_rect=80, light_mode="center",
+                            warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.5,
                             near_fade_end=7.5,
@@ -319,7 +331,7 @@ def c5() -> SceneConfig:
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=224,
-                            warp_march_rect=80,
+                            warp_march_rect=80, light_mode="center",
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=7.0,
