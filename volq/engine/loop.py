@@ -33,21 +33,10 @@ def _light_volumes(state, light, cfg: SceneConfig):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def frame(state: SceneState, camera, light, cfg: SceneConfig,
-          light_volumes=None, slab_banks=None):
-    """Advance one frame. Returns (new_state, image [H,W,4], stats).
-
-    ``state`` is DONATED: without donation XLA copies the (possibly
-    multi-GB) volume bank into the returned state every frame — measured
-    13.7 ms/frame on config 3.  Callers must rebind, i.e.
-    ``state, img, st = frame(state, ...)``.
-
-    ``light_volumes`` / ``slab_banks``: pass the pre-baked
-    light-transmittance bank and warp marching-slab banks for STATIC
-    scenes (cached_light_volumes / cached_slab_banks) to skip the
-    per-frame re-bakes; None re-bakes inside the frame (required when
-    volumes are animated or the light moves)."""
+def _frame_body(state: SceneState, camera, light, cfg: SceneConfig,
+                light_volumes=None, slab_banks=None):
+    """One sim+render frame (traced body shared by ``frame`` and the
+    multi-frame ``frames`` scan)."""
     state = sim_step(state, cfg)
     if cfg.volume.animated:
         v = cfg.volume
@@ -63,6 +52,53 @@ def frame(state: SceneState, camera, light, cfg: SceneConfig,
     image, stats = render_frame(state.particles, state.volumes, camera,
                                 light, cfg, light_volumes=light_volumes,
                                 slab_banks=slab_banks)
+    return state, image, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def frame(state: SceneState, camera, light, cfg: SceneConfig,
+          light_volumes=None, slab_banks=None):
+    """Advance one frame. Returns (new_state, image [H,W,4], stats).
+
+    ``state`` is DONATED: without donation XLA copies the (possibly
+    multi-GB) volume bank into the returned state every frame — measured
+    13.7 ms/frame on config 3.  Callers must rebind, i.e.
+    ``state, img, st = frame(state, ...)``.
+
+    ``light_volumes`` / ``slab_banks``: pass the pre-baked
+    light-transmittance bank and warp marching-slab banks for STATIC
+    scenes (cached_light_volumes / cached_slab_banks) to skip the
+    per-frame re-bakes; None re-bakes inside the frame (required when
+    volumes are animated or the light moves)."""
+    return _frame_body(state, camera, light, cfg, light_volumes,
+                       slab_banks)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"),
+                   donate_argnums=(0,))
+def frames(state: SceneState, camera, light, cfg: SceneConfig,
+           light_volumes=None, slab_banks=None, n: int = 1):
+    """Advance ``n`` frames in ONE device dispatch (lax.scan over the
+    frame body).  Returns (new_state, last image, stats stacked [n]).
+
+    The per-dispatch host/relay round-trip measures ~1 ms on this
+    environment — at config-3 frame times that is ~17% of the loop.
+    Headless rendering and benchmarking that only fetch occasionally
+    should batch frames per launch; ``frame`` remains the one-frame
+    (lowest-latency) path and this scan produces BIT-IDENTICAL states
+    and images (tests/test_engine.py)."""
+    r = cfg.render
+    H = r.height
+
+    def body(carry, _):
+        st, _img = carry
+        st, img, stats = _frame_body(st, camera, light, cfg,
+                                     light_volumes, slab_banks)
+        return (st, img), stats
+
+    img0 = jnp.zeros((H, r.width, 4), jnp.float32)
+    (state, image), stats = jax.lax.scan(body, (state, img0), None,
+                                         length=n)
     return state, image, stats
 
 
@@ -102,6 +138,11 @@ def setup(cfg: SceneConfig):
     """Config -> (state, camera, light). The Start() analogue."""
     camera = build_camera(cfg.camera, cfg.render.width, cfg.render.height)
     light = build_light(cfg.light)
+    # camera/light come out as host numpy: put them on device ONCE, or
+    # every frame() call re-uploads all 9 leaves (~0.9 ms/frame of
+    # DevicePut on the axon relay — measured in the c3 profile)
+    camera = jax.device_put(camera)
+    light = jax.device_put(light)
     state = init_scene(cfg)
     # `frame` donates the state; XLA CSE can alias identical constant
     # leaves (e.g. two all-zero arrays) to ONE buffer, which donation
