@@ -15,8 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def bench_config(name: str, n_frames: int = 20):
     import jax
     from volq.scene.config import PRESETS
-    from volq.engine.loop import (setup, frame, _sync, cached_light_volumes,
-                                  cached_slab_banks)
+    from volq.engine.loop import (setup, frame, frames, _sync,
+                                  cached_light_volumes, cached_slab_banks)
     from volq.sim.step import sim_step
 
     cfg = PRESETS[name]()
@@ -29,14 +29,18 @@ def bench_config(name: str, n_frames: int = 20):
     _sync(image)
     compile_s = time.perf_counter() - t0
 
-    for _ in range(5):
-        state, image, stats = frame(state, camera, light, cfg, lv, sb)
+    # steady state batches frames per dispatch (engine/loop.frames —
+    # bit-identical to frame(); stats stacked, last frame's reported)
+    FB = 5
+    state, image, stats = frames(state, camera, light, cfg, lv, sb, n=FB)
     _sync(image)
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        state, image, stats = frame(state, camera, light, cfg, lv, sb)
+    for _ in range(-(-n_frames // FB)):
+        state, image, stats = frames(state, camera, light, cfg, lv, sb,
+                                     n=FB)
     _sync(image)
-    frame_s = (time.perf_counter() - t0) / n_frames
+    frame_s = (time.perf_counter() - t0) / (-(-n_frames // FB) * FB)
+    stats = {k: v[-1] for k, v in stats.items()}
 
     # sim-only rate (fresh state: `frame` donated the one above)
     jstep = jax.jit(sim_step, static_argnames=("cfg",))

@@ -182,11 +182,19 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # small banks: c1/c2/c5-class configs), its block index is constant —
     # Pallas fetches it once and per-particle volume DMA drops to ZERO.
     stack_resident = False
+    dens_resident = False
     if use_stack:
         Ms = slab_banks[0].shape[0]
-        bank_bytes = (1 + lit) * Ms * S * V * V * \
-            slab_banks[0].dtype.itemsize
+        dens_bytes = Ms * S * V * V * slab_banks[0].dtype.itemsize
+        bank_bytes = (1 + lit) * dens_bytes
         stack_resident = bank_bytes <= 8 * 2 ** 20
+        if not stack_resident and (center or not lit):
+            # center/unlit only need the DENSITY bank resident (center
+            # streams one light mid-slab per particle), so it gets a
+            # solo, larger VMEM budget — e.g. config 4's 12.6 MB bank
+            # just misses the joint 8 MB cut and would otherwise
+            # re-stream ~800 MB/frame of slabs in depth order
+            dens_resident = dens_bytes <= 12 * 2 ** 20
 
     # Unroll U march steps per grid step: amortizes the fixed per-grid-step
     # cost (block bookkeeping, predicates) over more MXU work.  Measured
@@ -293,7 +301,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             ky = fwd_y / fz_s
 
         flipped = flip_ref[n]
-        if use_stack and stack_resident:
+        if use_stack and (stack_resident or dens_resident):
             vid = vidx_ref[n]
 
         @pl.when(s == 0)
@@ -419,7 +427,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 WxT = (iot_a * 0.001).astype(wdt)
 
             if use_stack:
-                if stack_resident:
+                if stack_resident or dens_resident:
                     def stacked(ref):
                         # bank flattened to [M*S, V, V]; one dynamic
                         # leading index (vid*S + sei)
@@ -778,7 +786,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                             memory_space=pltpu.VMEM)
 
     if use_stack:
-        vol_specs = [stack_res_spec() if stack_resident else stack_spec()]
+        vol_specs = [stack_res_spec() if (stack_resident or dens_resident)
+                     else stack_spec()]
     elif full_vol:
         vol_specs = [vol_full_spec()]
     else:
@@ -789,7 +798,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
                               memory_space=pltpu.SMEM)
     def stack_input(bank):
-        return bank.reshape(Ms * S, V, V) if stack_resident else bank
+        return (bank.reshape(Ms * S, V, V)
+                if (stack_resident or dens_resident) else bank)
 
     in_specs = list(vol_specs)
     inputs = [stack_input(slab_banks[0]) if use_stack
