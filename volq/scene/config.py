@@ -330,7 +330,7 @@ def c5() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 4.0, -19.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=42.0),
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
-                            engine="warp", warp_fp32=False, warp_rect=224,
+                            engine="warp", warp_fp32=False, warp_rect=176,
                             warp_march_rect=80, light_mode="center",
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
