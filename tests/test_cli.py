@@ -48,6 +48,21 @@ def test_cli_mesh_resume(tmp_path):
     assert rc == 0
 
 
+def test_cli_frames_per_launch(tmp_path):
+    """--frames-per-launch batches frames per dispatch; the saved (every
+    Nth) frames must match the one-frame-per-launch run exactly."""
+    out1 = tmp_path / "one"
+    outn = tmp_path / "batched"
+    main(["--preset", "c1", "--frames", "4", "--out", str(out1), "--npy"]
+         + _SHRINK)
+    rc = main(["--preset", "c1", "--frames", "4", "--frames-per-launch",
+               "2", "--out", str(outn), "--npy"] + _SHRINK)
+    assert rc == 0
+    a = np.load(out1 / "frame_0003.npy")   # 4th frame
+    b = np.load(outn / "frame_0001.npy")   # 2nd launch = frames 3-4
+    assert np.array_equal(a, b)
+
+
 def test_cli_warp_engine(tmp_path):
     out = tmp_path / "warp"
     rc = main(["--preset", "c1", "--frames", "1", "--out", str(out),

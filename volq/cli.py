@@ -64,6 +64,10 @@ def main(argv=None):
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="override config fields, e.g. render.steps=16")
     ap.add_argument("--frames", type=int, default=1)
+    ap.add_argument("--frames-per-launch", type=int, default=1,
+                    metavar="N", help="advance N frames per device "
+                    "dispatch (engine.loop.frames; bit-identical — "
+                    "only every Nth frame's image is fetched/saved)")
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--out", default="out")
     ap.add_argument("--png", action="store_true", help="save PNG frames")
@@ -132,15 +136,23 @@ def main(argv=None):
     else:
         lv = loop.cached_light_volumes(state, light, cfg)
         sb = loop.cached_slab_banks(state, lv, cfg)
-        step = lambda st: loop.frame(st, camera, light, cfg, lv, sb)
+        fpl = max(args.frames_per_launch, 1)
+        if fpl > 1:
+            def step(st):
+                st, image, stats = loop.frames(st, camera, light, cfg,
+                                               lv, sb, n=fpl)
+                return st, image, {k: v[-1] for k, v in stats.items()}
+        else:
+            step = lambda st: loop.frame(st, camera, light, cfg, lv, sb)
 
     profiler_cm = None
     if args.profile:
         import jax.profiler
         profiler_cm = jax.profiler.trace(args.profile)
         profiler_cm.__enter__()
+    fpl = max(args.frames_per_launch, 1) if not args.mesh else 1
     t_start = time.perf_counter()
-    for i in range(args.frames):
+    for i in range(-(-args.frames // fpl)):
         state, image, stats = step(state)
         if args.png or not args.npy:
             io.save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
