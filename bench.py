@@ -37,13 +37,18 @@ def main():
                                      n=FB)
     _sync(image)
 
-    k = 6
-    t0 = time.perf_counter()
-    for _ in range(k):
-        state, image, stats = frames(state, camera, light, cfg, lv, sb,
-                                     n=FB)
-    _sync(image)
-    dt = (time.perf_counter() - t0) / (k * FB)
+    # median of 3 measurement windows: single-window numbers swing
+    # ~±7% with TPU/relay contention on this environment
+    dts = []
+    for _ in range(3):
+        k = 4
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, image, stats = frames(state, camera, light, cfg,
+                                         lv, sb, n=FB)
+        _sync(image)
+        dts.append((time.perf_counter() - t0) / (k * FB))
+    dt = sorted(dts)[1]
 
     rays = cfg.render.width * cfg.render.height
     mrays = rays / dt / 1e6
