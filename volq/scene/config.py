@@ -277,7 +277,7 @@ def c3() -> SceneConfig:
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
                             engine="warp", warp_fp32=False, warp_rect=160,
-                            warp_march_rect=112, warp_canvas_fp32=False,
+                            warp_march_rect=96, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
                             warp_shift_max=6,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
