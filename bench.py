@@ -6,49 +6,25 @@ Prints exactly ONE JSON line:
 where the baseline is the driver target of 500 Mrays/s per v5e chip
 (BASELINE.md; the reference publishes no numbers of its own).
 
-The measured quantity is the full frame step (sim + bin + march +
-composite) in steady state with the image kept on device — pixels/sec/1e6.
+The measured quantity is the full frame step (sim + march + composite)
+in steady state with the image kept on device — pixels/sec/1e6.  The
+harness is engine/loop.time_frames (shared with bench/suite.py and the
+CLI --bench, so all three report the same number): 6 frames per device
+dispatch, fetch-synced fences, median of 3 measurement windows.
 """
 import os
 import sys
 import json
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
     from volq.scene.config import c3
-    from volq.engine.loop import (setup, frames, _sync,
-                                  cached_light_volumes, cached_slab_banks)
+    from volq.engine.loop import time_frames
 
     cfg = c3()
-    state, camera, light = setup(cfg)
-    lv = cached_light_volumes(state, light, cfg)
-    sb = cached_slab_banks(state, lv, cfg)
-
-    # 6 frames per launch: the steady-state loop batches frames per
-    # device dispatch (engine/loop.frames — bit-identical to frame();
-    # the per-dispatch relay round-trip is ~1 ms on this environment)
-    FB = 6
-    # compile + settle into the steady state of the live loop
-    for _ in range(2):
-        state, image, stats = frames(state, camera, light, cfg, lv, sb,
-                                     n=FB)
-    _sync(image)
-
-    # median of 3 measurement windows: single-window numbers swing
-    # ~±7% with TPU/relay contention on this environment
-    dts = []
-    for _ in range(3):
-        k = 4
-        t0 = time.perf_counter()
-        for _ in range(k):
-            state, image, stats = frames(state, camera, light, cfg,
-                                         lv, sb, n=FB)
-        _sync(image)
-        dts.append((time.perf_counter() - t0) / (k * FB))
-    dt = sorted(dts)[1]
+    dt, _stats = time_frames(cfg, 24, fb=6, windows=3)
 
     rays = cfg.render.width * cfg.render.height
     mrays = rays / dt / 1e6

@@ -12,37 +12,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(name: str, n_frames: int = 20):
+def bench_config(name: str, n_frames: int = 24):
     import jax
     from volq.scene.config import PRESETS
-    from volq.engine.loop import (setup, frame, frames, _sync,
-                                  cached_light_volumes, cached_slab_banks)
+    from volq.engine.loop import setup, time_frames, _sync
     from volq.sim.step import sim_step
 
     cfg = PRESETS[name]()
-    state, camera, light = setup(cfg)
-    lv = cached_light_volumes(state, light, cfg)
-    sb = cached_slab_banks(state, lv, cfg)
 
+    # the shared harness (engine/loop.time_frames): frames batched per
+    # dispatch, fetch-synced, median-of-3 windows — the same numbers as
+    # bench.py and the CLI --bench
     t0 = time.perf_counter()
-    state, image, stats = frame(state, camera, light, cfg, lv, sb)
-    _sync(image)
-    compile_s = time.perf_counter() - t0
+    frame_s, stats = time_frames(cfg, n_frames, fb=6, windows=3)
+    # rough compile estimate: wall time minus the frames actually run
+    # (3 warmup + 3 windows of ceil(n/6) dispatches, 6 frames each)
+    n_run = (3 + 3 * -(-n_frames // 6)) * 6
+    compile_s = max(time.perf_counter() - t0 - n_run * frame_s, 0.0)
 
-    # steady state batches frames per dispatch (engine/loop.frames —
-    # bit-identical to frame(); stats stacked, last frame's reported)
-    FB = 5
-    state, image, stats = frames(state, camera, light, cfg, lv, sb, n=FB)
-    _sync(image)
-    t0 = time.perf_counter()
-    for _ in range(-(-n_frames // FB)):
-        state, image, stats = frames(state, camera, light, cfg, lv, sb,
-                                     n=FB)
-    _sync(image)
-    frame_s = (time.perf_counter() - t0) / (-(-n_frames // FB) * FB)
-    stats = {k: v[-1] for k, v in stats.items()}
-
-    # sim-only rate (fresh state: `frame` donated the one above)
+    # sim-only rate
     jstep = jax.jit(sim_step, static_argnames=("cfg",))
     s = setup(cfg)[0]
     s = jstep(s, cfg)

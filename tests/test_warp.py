@@ -269,7 +269,7 @@ def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
     # vol-sorts, so this test pins warp_fused=False
     cfg = _warpify(tiny_cfg, warp_pallas=True, warp_fused=False)
     img_ref, _ = render_only(state, camera, light, cfg)
-    monkeypatch.setattr(K, "stack_bank_resident", lambda *a: False)
+    monkeypatch.setattr(K, "stack_bank_resident", lambda *a, **k: False)
     render_only.clear_cache()   # retrace under the patch
     img_sorted, _ = render_only(state, camera, light, cfg)
     assert np.abs(np.asarray(img_ref, np.float64)

@@ -100,12 +100,20 @@ def main(argv=None):
         return 0
 
     if args.bench:
-        dt, stats = loop.time_frames(cfg, max(args.frames, 10))
+        # the shared harness (engine/loop.time_frames, same as bench.py
+        # and bench/suite.py): frames batched per dispatch, fetch-synced,
+        # median-of-3 windows; honors --mesh and --frames-per-launch
+        fb = max(args.frames_per_launch, 1) if args.frames_per_launch > 1 \
+            else 6
+        dt, stats = loop.time_frames(cfg, max(args.frames, 12), fb=fb,
+                                     mesh=args.mesh)
         rays = cfg.render.width * cfg.render.height
         print(json.dumps({
             "frame_ms": round(dt * 1e3, 3),
             "fps": round(1.0 / dt, 1),
             "mrays_per_s": round(rays / dt / 1e6, 1),
+            "frames_per_launch": fb,
+            "mesh": args.mesh,
             "stats": {k: int(v) for k, v in stats.items()},
         }))
         return 0
@@ -126,34 +134,42 @@ def main(argv=None):
     else:
         state, camera, light = loop.setup(cfg)
 
+    fpl = max(args.frames_per_launch, 1)
     if args.mesh:
         from volq.dist.mesh import make_mesh
         from volq.dist.sharded import sharded_frame_fn, shard_state
         mesh = make_mesh(args.mesh)
         state = shard_state(state, mesh)
-        fr = sharded_frame_fn(cfg, mesh)
-        step = lambda st: fr(st, camera, light)
+        frs = {}
+
+        def step(st, n):
+            if n not in frs:
+                frs[n] = sharded_frame_fn(cfg, mesh, n_frames_per_call=n)
+            return frs[n](st, camera, light)
     else:
         lv = loop.cached_light_volumes(state, light, cfg)
         sb = loop.cached_slab_banks(state, lv, cfg)
-        fpl = max(args.frames_per_launch, 1)
-        if fpl > 1:
-            def step(st):
-                st, image, stats = loop.frames(st, camera, light, cfg,
-                                               lv, sb, n=fpl)
-                return st, image, {k: v[-1] for k, v in stats.items()}
-        else:
-            step = lambda st: loop.frame(st, camera, light, cfg, lv, sb)
+
+        def step(st, n):
+            if n == 1:
+                return loop.frame(st, camera, light, cfg, lv, sb)
+            st, image, stats = loop.frames(st, camera, light, cfg,
+                                           lv, sb, n=n)
+            return st, image, {k: v[-1] for k, v in stats.items()}
 
     profiler_cm = None
     if args.profile:
         import jax.profiler
         profiler_cm = jax.profiler.trace(args.profile)
         profiler_cm.__enter__()
-    fpl = max(args.frames_per_launch, 1) if not args.mesh else 1
+    # exactly --frames sim frames: the LAST launch shrinks to the
+    # remainder when fpl does not divide them (one extra compile)
+    launches = [fpl] * (args.frames // fpl)
+    if args.frames % fpl:
+        launches.append(args.frames % fpl)
     t_start = time.perf_counter()
-    for i in range(-(-args.frames // fpl)):
-        state, image, stats = step(state)
+    for i, n_launch in enumerate(launches):
+        state, image, stats = step(state, n_launch)
         if args.png or not args.npy:
             io.save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
                         io.tonemap(jax.device_get(image)))

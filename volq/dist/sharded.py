@@ -104,12 +104,17 @@ def shard_state(state: SceneState, mesh) -> SceneState:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
 
-def sharded_frame_fn(cfg: SceneConfig, mesh):
+def sharded_frame_fn(cfg: SceneConfig, mesh, n_frames_per_call: int = 1):
     """Build the jitted sharded frame step for (cfg, mesh).
 
     Returns f(state, camera, light) -> (state', image [H,W,4], stats) with
     state sharded as in shard_state. N particles and the volume bank size
     must divide the mesh size (validated here).
+
+    ``n_frames_per_call`` advances that many frames per device dispatch
+    (lax.scan over the shard body, bit-identical to repeated calls —
+    the sharded twin of engine/loop.frames); the LAST frame's image and
+    stats are returned.
     """
     n_shards = mesh.devices.size
     r = cfg.render
@@ -212,6 +217,15 @@ def sharded_frame_fn(cfg: SceneConfig, mesh):
     @jax.jit
     def frame(state, camera, light):
         state, tiles, stats = body(state, camera, light)
+        if n_frames_per_call > 1:
+            def sc(carry, _):
+                st, _tiles = carry
+                st, t, s = body(st, camera, light)
+                return (st, t), s
+
+            (state, tiles), stats_all = jax.lax.scan(
+                sc, (state, tiles), None, length=n_frames_per_call - 1)
+            stats = jax.tree.map(lambda a: a[-1], stats_all)
         if warp:
             image = _canvas_finish(tiles[:3], tiles[3], cfg, r.height)
         else:

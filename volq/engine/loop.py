@@ -180,24 +180,62 @@ def run(cfg: SceneConfig, n_frames: int, *, warmup: int = 0,
 def _sync(x):
     """Force execution to complete.  jax.block_until_ready is NOT reliable
     on relayed backends (it can return before the computation ran —
-    docs/DESIGN.md §5); fetching a scalar is."""
-    return float(jnp.sum(x[:2, :2]))
+    docs/DESIGN.md §5); fetching a scalar is.  Works for any array rank
+    (a one-element lax.slice, no full-array reshape/transfer)."""
+    x = jnp.asarray(x)
+    if x.ndim:
+        x = jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim)
+    return float(jnp.sum(x))
 
 
-def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 3):
-    """Benchmark helper: steady-state seconds/frame with the image kept on
-    device (only a tiny checksum is fetched per timing fence, as SURVEY
-    §3.5 prescribes)."""
+def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
+                fb: int = 6, mesh: int = 0, windows: int = 3):
+    """THE benchmark harness (used by bench.py, bench/suite.py and the
+    CLI --bench, so all three report the same number): steady-state
+    seconds/frame with the image kept on device — only a tiny checksum
+    is fetched per timing fence (SURVEY §3.5; block_until_ready lies on
+    relayed backends, see _sync).
+
+    ``fb`` frames are batched per device dispatch (the ``frames`` scan,
+    bit-identical to ``frame``; the per-dispatch relay round-trip is
+    ~1 ms here — at c3 frame times that is ~17% if unbatched).  ``mesh``
+    shards the loop over that many devices (dist/sharded; fb then
+    applies per-dispatch too).  The median of ``windows`` measurement
+    windows is returned: single windows swing ±7% with TPU/relay
+    contention on this environment.
+
+    Returns (seconds_per_frame, host stats dict of the LAST frame)."""
     state, camera, light = setup(cfg)
-    lv = cached_light_volumes(state, light, cfg)
-    sb = cached_slab_banks(state, lv, cfg)
-    st, image, stats = frame(state, camera, light, cfg, lv, sb)
-    for _ in range(warmup):
-        st, image, stats = frame(st, camera, light, cfg, lv, sb)
+    if mesh:
+        from volq.dist.mesh import make_mesh
+        from volq.dist.sharded import sharded_frame_fn, shard_state
+        m = make_mesh(mesh)
+        state = shard_state(state, m)
+        fr = sharded_frame_fn(cfg, m, n_frames_per_call=fb)
+
+        def step(st):
+            return fr(st, camera, light)
+    else:
+        lv = cached_light_volumes(state, light, cfg)
+        sb = cached_slab_banks(state, lv, cfg)
+
+        def step(st):
+            return frames(st, camera, light, cfg, lv, sb, n=fb)
+
+    # compile + settle into the live loop's steady state
+    for _ in range(1 + warmup):
+        state, image, stats = step(state)
     _sync(image)
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        st, image, stats = frame(st, camera, light, cfg, lv, sb)
-    _sync(image)
-    dt = (time.perf_counter() - t0) / n_frames
-    return dt, jax.device_get(stats)
+    reps = max(-(-n_frames // fb), 1)
+    dts = []
+    for _ in range(max(windows, 1)):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, image, stats = step(state)
+        _sync(image)
+        dts.append((time.perf_counter() - t0) / (reps * fb))
+    dt = sorted(dts)[len(dts) // 2]
+    stats = jax.device_get(stats)
+    last = {k: (v[-1] if getattr(v, "ndim", 0) else v)
+            for k, v in stats.items()}
+    return dt, last

@@ -349,6 +349,17 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             dw = _edge_clamped_shift_np(dw, Kc, RM_pi, ii[:, None])
             planes = _interp_rows(planes, ii[:, None] + dw)
 
+        # ---- unlit/center exps AT MARCH RESOLUTION (the upsampled
+        # quantity is the saturated P1/P2, not the linear optical
+        # depth — the classic reduced-resolution-impostor choice;
+        # mirrors the device epilogue) ---------------------------------
+        if unlit:
+            planes = (1.0 - np.exp(-planes[0]))[None]      # (P2,)
+        elif centr:
+            P2m = 1.0 - np.exp(-planes[0])
+            P1m = np.exp(-planes[1]) * P2m  # per-ray mid-depth atten
+            planes = np.stack([P1m, P2m])
+
         # ---- hat-upsample march grid -> rect (mirror of the kernel
         # epilogue, same quantization points in quant mode) ------------
         if RM_pi != RP_pi:
@@ -362,20 +373,18 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             planes = np.einsum("pik,kj->pij", t_, f64(Ux))
 
         if unlit:
-            # ONE exp at the end of the linear chain (atten == 1 makes
-            # the color a constant multiple of P2)
-            P2 = 1.0 - np.exp(-planes[0])
+            # atten == 1 makes the color a constant multiple of P2
+            P2 = planes[0]
             colc = albedo[pi][:, None, None] \
                 * (l_col + l_amb)[:, None, None]
             img = np.concatenate([colc * P2[None], (1.0 - P2)[None]],
                                  axis=0)                   # [4,RP,RP]
         elif centr:
-            P2 = 1.0 - np.exp(-planes[0])
-            A = np.exp(-planes[1])        # per-ray mid-depth atten
+            P1, P2 = planes
             Cc = albedo[pi][:, None, None] * (l_col[:, None, None]
-                                              * A[None]
-                                              + l_amb[:, None, None]) \
-                * P2[None]
+                                              * P1[None]
+                                              + l_amb[:, None, None]
+                                              * P2[None])
             img = np.concatenate([Cc, (1.0 - P2)[None]], axis=0)
         else:
             img = planes
@@ -485,7 +494,10 @@ def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan,
     Gx_i = right[0] * D_ic - Nx_ic * right[2]
     D_ip1 = D_ic + dox_step * right[2]
     D_ij = (D_ic + doy_j * up[2]).astype(f32)              # [RP, RP]
-    du = _safe_div_np(doy_j * (Fy_i * D_ip1), D_ij * (dox_step * Gx_i))
+    # per-column rational factor hoisted to 1-D (mirror of the device
+    # epilogue: only D_ij genuinely varies in 2-D)
+    A_i = _safe_div_np(Fy_i * D_ip1, dox_step * Gx_i)      # [1, RP]
+    du = _safe_div_np(doy_j * A_i, D_ij)
     if not row_fan:
         return du, None
     oy_j = (f32(1.0) - (sy0f + jv + f32(0.5)) * (f32(2.0) / H)) * sy
@@ -496,7 +508,8 @@ def _fan_shifts_np(camera, cfg, sx0, sy0, px_c, py_c, RP, row_fan,
     Gy_j = up[1] * D_cj - Ny_cj * up[2]
     D_jp1 = D_cj + doy_step * up[2]
     D_ij2 = (D_cj + dox_i * right[2]).astype(f32)
-    dw = _safe_div_np(dox_i * (Fx_j * D_jp1), D_ij2 * (doy_step * Gy_j))
+    B_j = _safe_div_np(Fx_j * D_jp1, doy_step * Gy_j)      # [RP, 1]
+    dw = _safe_div_np(dox_i * B_j, D_ij2)
     return du, dw
 
 

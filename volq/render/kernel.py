@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,11 +43,17 @@ from volq.scene.config import SceneConfig
 
 _EPS = 1e-6
 
-# perf-triage switch, NOT a user feature: VOLQ_ABLATE=weights|dots
-# removes one class of in-kernel work so A/B timing can attribute the
-# march cost (results are wrong images; never set outside experiments)
+# perf-triage switch, NOT a user feature:
+# VOLQ_ABLATE=weights|dot1|dot2|fan|up|comp removes one class of
+# in-kernel work so A/B timing can attribute the march cost (results
+# are wrong images; never set outside experiments).  Read once at
+# import; bench/ablate_c3.py monkeypatches the module global instead.
 import os as _os
+import sys as _sys
 _ABLATE = _os.environ.get("VOLQ_ABLATE", "")
+if _ABLATE:
+    print(f"volq: VOLQ_ABLATE={_ABLATE!r} is set — kernels will produce "
+          "WRONG images (perf-attribution mode)", file=_sys.stderr)
 
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
@@ -58,15 +65,20 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def stack_bank_resident(slab_banks, lit: bool) -> bool:
-    """True when the whole slab bank fits the kernel's VMEM-resident
-    budget (the kernel then streams ZERO per-particle volume DMAs).
-    Must mirror march_warp_pallas's stack_resident decision."""
+def stack_bank_resident(slab_banks, lit: bool, center: bool = False) -> bool:
+    """True when the kernel keeps the slab bank(s) VMEM-resident and
+    streams ZERO (or, in center mode, one mid-slab of) per-particle
+    volume DMAs.  Mirrors march_warp_pallas's stack_resident AND
+    dens_resident decisions: center/unlit configs qualify with just the
+    DENSITY bank under the solo 12 MB budget (e.g. config 4's 12.6 MB
+    bank misses the joint 8 MB cut but is density-resident)."""
     if slab_banks is None:
         return False
     Ms, S, V, _ = slab_banks[0].shape
-    bank_bytes = (1 + lit) * Ms * S * V * V * slab_banks[0].dtype.itemsize
-    return bank_bytes <= 8 * 2 ** 20
+    dens_bytes = Ms * S * V * V * slab_banks[0].dtype.itemsize
+    if (1 + lit) * dens_bytes <= 8 * 2 ** 20:
+        return True
+    return (center or not lit) and dens_bytes <= 12 * 2 ** 20
 
 
 def march_warp_pallas(particles: Particles, volumes, camera: Camera,
@@ -250,15 +262,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if lit:
                 lvols_in = rest[:2 * U]
                 rest = rest[2 * U:]
-        if RM != RP:
+        if RM != RP and not fused:
             # the constant upsample weights follow the camera/light
-            # constants in the input order
+            # constants in the input order (fused builds its PLACED
+            # upsample weights in-kernel instead)
             uy_r, ux_r = rest[5], rest[6]
             rest = rest[:5] + rest[7:]
         if fused:
             (gf, rxu, ryw, camf_r, lightf_r, canvas_in, canvas_out,
-             clamp_out, acc, geo, img, win, pad,
-             sem_in, sem_out) = rest
+             clamp_out, acc, geo, win, sem_in, sem_out) = rest
         else:
             (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
              acc, geo) = rest
@@ -368,11 +380,6 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
                 cin_desc().start()
 
-                @pl.when(n == 0)
-                def _init_ring():
-                    pad[:] = jnp.zeros((4, WH, WW), jnp.float32)
-                    pad[3] = jnp.ones((WH, WW), jnp.float32)
-
         # ---- marching steps (U unrolled per grid step) -------------------
         # rows that are invalid (dead/culled, or the other size class in
         # two-class rendering) skip the whole marching body: acc stays at
@@ -404,24 +411,30 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # the ray-origin plane is z = eye_z for BOTH projections, so
             # the t>0 test is a scalar folded into the row mask; vld > 0
             # is already guaranteed by the enclosing pl.when
-            tpos = ((zw - eye_z) * szn > 0).astype(jnp.float32)
-            inx = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
-            iny = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) * tpos
+            tpos = (zw - eye_z) * szn > 0
             if lit and not center:
-                msk = iny * inx                                  # [RP, RP]
-
-            gyc = jnp.clip(gy, 0.0, gsc)                         # [RP, 1]
-            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b))    # [RP, V(b)]
-            gxc = jnp.clip(gx, 0.0, gsc)                         # [1, RP]
-            WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc))   # [V(a), RP]
-            if not lit or center:
+                inx_f = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
+                iny_f = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) \
+                    * tpos.astype(jnp.float32)
+                msk = iny_f * inx_f                              # [RP, RP]
+                gyc = jnp.clip(gy, 0.0, gsc)                     # [RP, 1]
+                gxc = jnp.clip(gx, 0.0, gsc)                     # [1, RP]
+            else:
                 # telescoped mode: the binary in-bounds mask folds into
                 # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
-                # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks
-                Wy = Wy * iny
-                WxT = WxT * inx
-            Wy = Wy.astype(wdt)
-            WxT = WxT.astype(wdt)
+                # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks —
+                # and the fold happens in the 1-D POSITIONS: a masked
+                # row/col gets hat position -2, whose hat weight is
+                # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
+                # two [RM, V] mask multiplies per step
+                gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
+                                jnp.clip(gy, 0.0, gsc), -2.0)
+                gxc = jnp.where((gx >= 0) & (gx <= gsc),
+                                jnp.clip(gx, 0.0, gsc), -2.0)
+            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
+                .astype(wdt)                                     # [RP, V(b)]
+            WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
+                .astype(wdt)                                     # [V(a), RP]
             if _ABLATE == "weights":       # constant weights, keep dots
                 Wy = (iot_b * 0.001).astype(wdt)
                 WxT = (iot_a * 0.001).astype(wdt)
@@ -617,8 +630,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 Gx_i = rxc * D_ic - Nx_ic * rzc
                 D_ip1 = D_ic + dox_step * rzc
                 D_ij = D_ic + doy_j * uzc                    # [RM, RM]
-                du = safe_div(doy_j * (Fy_i * D_ip1),
-                              D_ij * (dox_step * Gx_i))
+                # per-COLUMN rational factor hoisted to 1-D (only D_ij
+                # genuinely varies in 2-D): one [1, RM] safe-div + one
+                # [RM, RM] safe-div instead of two full [RM, RM]
+                # multiply chains feeding one
+                A_i = safe_div(Fy_i * D_ip1, dox_step * Gx_i)  # [1, RM]
+                du = safe_div(doy_j * A_i, D_ij)
             else:
                 Ax = rxc - rzc * kx
                 Bx = uxc - uzc * kx
@@ -667,8 +684,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     Gy_j = uyc * D_cj - Ny_cj * uzc
                     D_jp1 = D_cj + doy_step * uzc
                     D_ij2 = D_cj + dox_i * rzc
-                    dw = safe_div(dox_i * (Fx_j * D_jp1),
-                                  D_ij2 * (doy_step * Gy_j))
+                    B_j = safe_div(Fx_j * D_jp1,
+                                   doy_step * Gy_j)          # [RM, 1]
+                    dw = safe_div(dox_i * B_j, D_ij2)
                 else:
                     Ay = ryc - rzc * ky
                     By = uyc - uzc * ky
@@ -681,9 +699,93 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 if _ABLATE != "fan":
                     img4 = shift_interp(img4, dw, axis=0)
 
-            # hat-upsample march grid -> rect (identity when RM == RP)
-            if RM != RP:
+            # hat-upsample march grid -> rect (identity when RM == RP).
+            # FUSED: the (dy, dx) sub-tile canvas placement FOLDS INTO
+            # the upsample weights — everything from here on is linear
+            # in the planes, so upsampling straight into window
+            # coordinates replaces the old pad-buffer + 8 pltpu.rolls
+            # per particle (the single largest composite VPU cost) and
+            # lets the window shrink to RP + 128 columns.  Window
+            # rows/cols outside the rect get hat position -2 => all-zero
+            # weight row => exactly the OVER identity (P = 0, T = 1)
+            # the pad ring used to provide.  Weight VALUES and the
+            # contraction order are bit-identical to upsample_weights +
+            # roll placement; with RM == RP the weights are an exact
+            # {0, 1} permutation and the matmuls run f32/HIGHEST, so no
+            # new rounding point exists vs the rolls.
+            if fused:
+                ratio_m = float(np.float32(RM - 1)
+                                / np.float32(max(RP - 1, 1)))
+                exact = RM == RP
+                pdt = jnp.float32 if exact else wdt
+                pprec = jax.lax.Precision.HIGHEST if exact else prec
+                dyf = dy_ref[n].astype(jnp.float32)
+                dxf = dx_ref[n].astype(jnp.float32)
+                iww = jax.lax.broadcasted_iota(
+                    jnp.int32, (WH, 1), 0).astype(jnp.float32)
+                posy = iww - dyf                      # rect row index
+                gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
+                                posy * ratio_m, -2.0)        # [WH, 1]
+                m_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (WH, RM), 1).astype(jnp.float32)
+                Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
+                    .astype(pdt)                             # [WH, RM]
+                jww = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, WW), 1).astype(jnp.float32)
+                posx = jww - dxf
+                gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
+                                posx * ratio_m, -2.0)        # [1, WW]
+                k_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (RM, WW), 0).astype(jnp.float32)
+                Uxp = jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)) \
+                    .astype(pdt)                             # [RM, WW]
+
+                def placew(pln):     # [RM, RM] -> placed [WH, WW]
+                    if _ABLATE == "up":    # skip the placement matmuls
+                        # (scalar splat keeps the data dependency; 2-D
+                        # broadcasts of [1,1] slices don't lower)
+                        return jnp.zeros((WH, WW), jnp.float32) \
+                            + jnp.sum(pln) * 1e-9
+                    t_ = jax.lax.dot_general(
+                        Uyp, pln.astype(pdt), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pprec)
+                    return jax.lax.dot_general(
+                        t_.astype(pdt), Uxp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pprec)
+
+            # The unlit/center exps run AT MARCH RESOLUTION, before the
+            # upsample: the upsampled quantity is the saturated opacity
+            # P2 (and P1), not the linear optical depth — the classic
+            # reduced-resolution-impostor choice, mirrored by the
+            # oracle.  This keeps the exp on [RM, RM] instead of the
+            # (much larger) rect/window planes.  Lit per-step planes
+            # are already (P1, P2) and are unaffected.
+            if lit and not center:
+                P1m, P2m = img4
+            elif center:
+                qm, tpm = img4
+                P2m = 1.0 - jnp.exp(-qm)
+                P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth atten
+            else:
+                qm, = img4
+                P2m = 1.0 - jnp.exp(-qm)
+                P1m = P2m    # atten == 1: P1 degenerates to P2
+            # unlit places/upsamples ONE plane (P1 is an alias of P2)
+            one_plane = not lit
+
+            if fused:
+                placed = ([placew(P2m)] if one_plane
+                          else [placew(P1m), placew(P2m)])
+                P1, P2 = (placed[0], placed[0]) if one_plane else placed
+            elif RM != RP:
                 def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
+                    if _ABLATE == "up":    # skip the upsample matmuls
+                        # (scalar splat keeps the data dependency; 2-D
+                        # broadcasts of [1,1] slices don't lower)
+                        return jnp.zeros((RP, RP), jnp.float32) \
+                            + jnp.sum(pln) * 1e-9
                     t_ = jax.lax.dot_general(
                         uy_r[...], pln.astype(wdt),
                         (((1,), (0,)), ((), ())),
@@ -694,28 +796,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=prec)
-                img4 = [up(p) for p in img4]
+                ups = ([up(P2m)] if one_plane else [up(P1m), up(P2m)])
+                P1, P2 = (ups[0], ups[0]) if one_plane else ups
+            else:
+                P1, P2 = P1m, P2m
 
-            # RGB expansion (linear in the accumulated planes, so it
-            # commutes with the fan warp): C_ch = alb*(lcol*P1 + amb*P2)
-            if lit and not center:
-                P1, P2 = img4
-            elif center:
-                q, tp = img4
-                P2 = 1.0 - jnp.exp(-q)
-                P1 = jnp.exp(-tp) * P2   # per-ray mid-depth attenuation
-            else:
-                q, = img4
-                P2 = 1.0 - jnp.exp(-q)
-                P1 = P2    # atten == 1: P1 degenerates to P2
+            # RGB expansion: C_ch = alb*(lcol*P1 + amb*P2) — at rect
+            # resolution unfused, at WINDOW resolution fused (outside
+            # the rect P1 = P2 = 0, exactly the OVER identity)
             Tpl = 1.0 - P2
-            if fused:
-                for ch in range(3):
-                    alb = gf[0, 0, _G_ALB_R + ch]
-                    img[ch] = alb * (lightf_r[0, ch] * P1
-                                     + lightf_r[0, 3 + ch] * P2)
-                img[3] = Tpl
-            else:
+            if not fused:
                 for ch in range(3):
                     alb = gf[0, 0, _G_ALB_R + ch]
                     img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
@@ -730,22 +820,21 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             if fused:
                 # ---- fused composite: RMW this particle's canvas
-                # window in place (see composite_chunk_pallas) ---------
-                pad[:, :RP, :RP] = img[...]
-                dyv = dy_ref[n]
-                dxv = dx_ref[n]
-
-                def place(ch):
-                    return pltpu.roll(pltpu.roll(pad[ch], dyv, axis=0),
-                                      dxv, axis=1)
-
+                # window in place (see composite_chunk_pallas).  The
+                # planes are already PLACED in window coordinates, so
+                # the RGB expansion feeds the RMW directly — no pad
+                # buffer, no rolls.
                 cin_desc().wait()
                 wref = win.at[b]
-                Tw = wref[3].astype(jnp.float32)
-                for ch in range(3):
-                    wref[ch] = (wref[ch].astype(jnp.float32)
-                                + Tw * place(ch)).astype(cdt)
-                wref[3] = (Tw * place(3)).astype(cdt)
+                if _ABLATE != "comp":   # "comp": keep the canvas DMAs,
+                    Tw = wref[3].astype(jnp.float32)   # skip the RMW
+                    for ch in range(3):
+                        alb = gf[0, 0, _G_ALB_R + ch]
+                        wref[ch] = (wref[ch].astype(jnp.float32)
+                                    + Tw * (alb * (lightf_r[0, ch] * P1
+                                            + lightf_r[0, 3 + ch] * P2))
+                                    ).astype(cdt)
+                    wref[3] = (Tw * Tpl).astype(cdt)
                 cout_desc(b).start()
 
                 @pl.when(n == N - 1)
@@ -829,7 +918,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         const_smem,
     ]
     inputs += [geomf[:, None], rxu2[:, None], ryw2, camf, lightf]
-    if RM != RP:
+    if RM != RP and not fused:
         # constant hat-upsample weights (march grid -> rect), fetched
         # once (constant index maps) and kept VMEM-resident
         Uy_np, Ux_np = upsample_weights(RP, RM)
@@ -859,16 +948,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=(N, SG),
-            in_specs=in_specs + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1), lambda n, s, *pf: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
             scratch_shapes=scratch + [
-                pltpu.VMEM((4, RP, RP), jnp.float32),        # img
                 pltpu.VMEM((2, 4, WH, WW), canvas.dtype),    # win x2
-                pltpu.VMEM((4, WH, WW), jnp.float32),        # pad
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -911,24 +998,29 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     return images, clamp[0, 0]
 
 
-def _canvas_dims(cfg: SceneConfig, h_local):
+def _canvas_dims(cfg: SceneConfig, h_local, fused: bool = False):
     r = cfg.render
     RP = r.warp_rect
     WH = RP + 8                                  # widened window height
     # window width: RP + up to 127 sub-tile offset, rounded up to the
-    # 128-lane grid (Mosaic lane rolls need lane-aligned shapes)
+    # 128-lane grid.  (The fused kernel's matmul placement needs no roll
+    # headroom, but Mosaic requires 128-aligned LANE SLICE SHAPES — a
+    # 288-wide window slice fails "must be aligned to tiling (128)" —
+    # so the round-up binds either way; ``fused`` kept for future use.)
     WW = -(-(RP + 128) // 128) * 128
     Hc = h_local + RP + WH                       # = h_local + 2*RP + 8
     Wc = r.width + RP + WW
     return WH, WW, Hc, Wc
 
 
-def canvas_init_pallas(cfg: SceneConfig, h_local):
+def canvas_init_pallas(cfg: SceneConfig, h_local, fused: bool = False):
     """Padded canvas [4, Hc, Wc] (C=0, T=1); bf16 with
     warp_canvas_fp32=False (halves the RMW DMA traffic; the oracle
-    mirrors the per-step rounding)."""
+    mirrors the per-step rounding).  ``fused`` must match the composite
+    path that will consume it (the fused kernel's window — and hence
+    canvas — is narrower, see _canvas_dims)."""
     cdt = jnp.float32 if cfg.render.warp_canvas_fp32 else jnp.bfloat16
-    _, _, Hc, Wc = _canvas_dims(cfg, h_local)
+    _, _, Hc, Wc = _canvas_dims(cfg, h_local, fused)
     return jnp.concatenate([jnp.zeros((3, Hc, Wc), cdt),
                             jnp.ones((1, Hc, Wc), cdt)], axis=0)
 
@@ -1059,9 +1151,9 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
             pl.BlockSpec((1, 4, RP, RP),
                          lambda k, o, y, x, d1, d2, v: (o[k], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 4, WH, WW), canvas0.dtype),
             pltpu.VMEM((4, WH, WW), jnp.float32),

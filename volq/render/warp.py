@@ -767,8 +767,10 @@ def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
     Gx_i = rx_ * D_ic - Nx_ic * rz_
     D_ip1 = D_ic + dox * rz_
     D_ij = D_ic[:, None, :] + (doy_j * uz)[:, :, None]      # [c,RP(j),RP(i)]
-    du = _safe_div(doy_j[:, :, None] * (Fy_i * D_ip1)[:, None, :],
-                   D_ij * (dox * Gx_i)[:, None, :])
+    # per-column rational factor hoisted to 1-D (mirrors the kernel
+    # epilogue: only D_ij genuinely varies in 2-D)
+    A_i = _safe_div(Fy_i * D_ip1, dox * Gx_i)               # [c,RP(i)]
+    du = _safe_div(doy_j[:, :, None] * A_i[:, None, :], D_ij)
 
     if not row_fan:
         return du, None
@@ -779,8 +781,8 @@ def fan_shifts(camera: Camera, cfg: SceneConfig, sx0, sy0, px_c, py_c):
     Fx_j = ry_ * D_cj - Ny_cj * rz_
     Gy_j = uy * D_cj - Ny_cj * uz
     D_jp1 = D_cj + doy_step * uz
-    dw = _safe_div(dox_i[:, None, :] * (Fx_j * D_jp1)[:, :, None],
-                   D_ij * (doy_step * Gy_j)[:, :, None])
+    B_j = _safe_div(Fx_j * D_jp1, doy_step * Gy_j)          # [c,RP(j)]
+    dw = _safe_div(dox_i[:, None, :] * B_j[:, :, None], D_ij)
     return du, dw
 
 
@@ -848,26 +850,36 @@ def _warp_images(images, particles, camera: Camera, light: Light,
                 (valid[:, None, None] & clampy).astype(jnp.int32))
             out = _shift_interp(out, dw, Km, axis=2)
 
+        # The unlit/center exps run AT MARCH RESOLUTION, before the
+        # upsample (the upsampled quantity is the saturated P1/P2, the
+        # classic reduced-resolution-impostor choice; mirrors the
+        # kernel epilogue and the oracle).  Unlit keeps ONE plane
+        # (P1 aliases P2 after the upsample).
+        if lit:
+            pl_m = out                                    # (P1, P2)
+        elif center:
+            P2m = 1.0 - jnp.exp(-out[:, 0])
+            P1m = jnp.exp(-out[:, 1]) * P2m  # per-ray mid-depth atten
+            pl_m = jnp.stack([P1m, P2m], axis=1)
+        else:
+            pl_m = (1.0 - jnp.exp(-out[:, 0]))[:, None]   # (P2,)
+
         if RM != RP:
             # hat-upsample march grid -> rect (same quantization points
             # as the kernel epilogue: plane -> wdt, f32-accum dots)
-            t_ = jnp.einsum("im,cpmk->cpik", Uyj, out.astype(wdt),
+            t_ = jnp.einsum("im,cpmk->cpik", Uyj, pl_m.astype(wdt),
                             preferred_element_type=jnp.float32,
                             precision=prec)
-            out = jnp.einsum("cpik,kj->cpij", t_.astype(wdt), Uxj,
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
+            pl_m = jnp.einsum("cpik,kj->cpij", t_.astype(wdt), Uxj,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
 
         # RGB expansion: C_ch = alb_ch * (lcol_ch * P1 + amb_ch * P2);
         # T = 1 - P2 (never shifted: the shift weights sum to 1).
-        # Unlit: the warped plane is the LINEAR optical depth — ONE exp.
-        if lit:
-            P1, P2 = out[:, 0], out[:, 1]
-        elif center:
-            P2 = 1.0 - jnp.exp(-out[:, 0])
-            P1 = jnp.exp(-out[:, 1]) * P2  # per-ray mid-depth atten
+        if lit or center:
+            P1, P2 = pl_m[:, 0], pl_m[:, 1]
         else:
-            P2 = 1.0 - jnp.exp(-out[:, 0])
+            P2 = pl_m[:, 0]
             P1 = P2    # atten == 1
         Tp = 1.0 - P2
         col = albedo[:, :, None, None] * (l_col * P1[:, None]
@@ -899,7 +911,7 @@ def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
     from volq.render.kernel import _canvas_dims
     r = cfg.render
     RP = r.warp_rect
-    WH, WW, Hc, Wc = _canvas_dims(cfg, h_local)
+    WH, WW, Hc, Wc = _canvas_dims(cfg, h_local, fused=True)
     oy = jnp.clip(geom_o["sy0"] - jnp.asarray(y_start, jnp.int32) + RP,
                   0, Hc - WH).astype(jnp.int32)
     ox = jnp.clip(geom_o["sx0"] + RP, 0, Wc - WW).astype(jnp.int32)
@@ -1035,7 +1047,8 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
                                         composite_chunk_pallas,
                                         composite_classes_pallas,
                                         stack_bank_resident)
-        canvas = canvas_init_pallas(cfg, h_local)
+        canvas = canvas_init_pallas(cfg, h_local,
+                                    fused=r.warp_fused and not two_class)
         # Shared-volume banks streamed per particle (too big for the
         # VMEM-resident mode): march in VOL-IDX-SORTED order so runs of
         # equal vol_idx share ONE slab-stack DMA (the kernel's block
@@ -1043,7 +1056,9 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         # in depth order via its ``order`` prefetch.
         lit_ = light_volumes is not None and r.light_steps > 0
         march_vol_sort = (slab_banks is not None
-                          and not stack_bank_resident(slab_banks, lit_)
+                          and not stack_bank_resident(
+                              slab_banks, lit_,
+                              center=lit_ and r.light_mode == "center")
                           and volumes.shape[0] < N)
     else:
         canvas = _canvas_init(cfg, h_local)

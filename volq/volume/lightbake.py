@@ -30,6 +30,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Pure safety net: dominant_axis guarantees |la| >= 1/sqrt(3), so this
+# floor is unreachable through the public API — it only guards direct
+# _sweep_tau calls with a non-dominant axis (e.g. exploratory tests).
 MIN_LAXIS = 0.15
 
 
