@@ -147,13 +147,11 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         in_front = vz > 1e-3
         dzp = pos[:, 2] - eye[2]
         szn = np.where(dzp >= 0, 1.0, -1.0)
-        straddle = np.abs(dzp) <= size * f32(1.05)
     else:
         px_c = (vx / sx + f32(1.0)) * f32(0.5 * W)
         py_c = (f32(1.0) - vy / sy) * f32(0.5 * H)
         in_front = np.ones_like(vz, bool)
         szn = np.full(N, 1.0 if fwd[2] >= 0 else -1.0)
-        straddle = np.zeros_like(vz, bool)
 
     alive = np.asarray(particles.age) < np.asarray(particles.lifetime)
 
@@ -187,7 +185,9 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     sy0 = (np.round(py_c) - RP_arr // 2).astype(np.int64)
     on_screen = ((sx0 > -RP_arr) & (sx0 < W)
                  & (sy0 > y_start - RP_arr) & (sy0 < y_start + h_local))
-    valid = alive & in_front & ~straddle & on_screen
+    # straddlers render (front z-planes only, via the per-step tpos
+    # test below — mirror of the device's straddle handling)
+    valid = alive & in_front & on_screen
     if r.near_fade_start > 0.0:
         valid = valid & (vz > r.near_fade_end)
 

@@ -804,8 +804,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # RGB expansion: C_ch = alb*(lcol*P1 + amb*P2) — at rect
             # resolution unfused, at WINDOW resolution fused (outside
             # the rect P1 = P2 = 0, exactly the OVER identity)
-            Tpl = 1.0 - P2
             if not fused:
+                Tpl = 1.0 - P2
                 for ch in range(3):
                     alb = gf[0, 0, _G_ALB_R + ch]
                     img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
@@ -828,13 +828,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 wref = win.at[b]
                 if _ABLATE != "comp":   # "comp": keep the canvas DMAs,
                     Tw = wref[3].astype(jnp.float32)   # skip the RMW
+                    # scalar-weight hoist: the window-sized products
+                    # T2 = Tw*P2 (and T1 = Tw*P1) are shared across
+                    # channels, each channel fma then uses SCALAR
+                    # coefficients only (unlit folds to ONE fma:
+                    # alb*(lcol+amb) is a scalar), and the T update is
+                    # Tw - T2 == Tw*(1 - P2) reassociated
+                    T2 = Tw * P2
+                    T1 = T2 if one_plane else Tw * P1
                     for ch in range(3):
                         alb = gf[0, 0, _G_ALB_R + ch]
+                        if one_plane:
+                            cc = alb * (lightf_r[0, ch]
+                                        + lightf_r[0, 3 + ch])
+                            upd = cc * T2
+                        else:
+                            upd = (alb * lightf_r[0, ch]) * T1 \
+                                + (alb * lightf_r[0, 3 + ch]) * T2
                         wref[ch] = (wref[ch].astype(jnp.float32)
-                                    + Tw * (alb * (lightf_r[0, ch] * P1
-                                            + lightf_r[0, 3 + ch] * P2))
-                                    ).astype(cdt)
-                    wref[3] = (Tw * Tpl).astype(cdt)
+                                    + upd).astype(cdt)
+                    wref[3] = (Tw - T2).astype(cdt)
                 cout_desc(b).start()
 
                 @pl.when(n == N - 1)

@@ -37,9 +37,12 @@ Approximations vs the exact engine (all mirrored bit-for-bit by the
 oracle, oracle/warp_cpu.py, so the 1e-3 oracle diff is exact):
   * each pixel's radiance is interpolated between the two neighboring
     grid rays (sub-pixel ray offset, first-order-exact);
-  * particles whose AABB straddles the eye's z-plane cannot be z-plane
-    marched and are culled (counted as ``warp_culled``; the exact/slab
-    engines still render them);
+  * particles whose AABB straddles the eye's z-plane march only their
+    z-planes IN FRONT of the eye (the per-step scalar t>0 test) with the
+    ray segment clamped to start at the eye plane — the same geometry
+    the exact engine integrates, sampled on the front planes only.
+    Straddlers are counted (``straddled``) because their screen
+    footprint is often rect-clipped (``rect_overflow``);
   * screen footprints larger than ``warp_rect`` are clipped (counted as
     ``rect_overflow``).
 
@@ -319,6 +322,10 @@ def _grid_geometry(particles: Particles, camera: Camera, cfg: SceneConfig,
         in_front = vz > 1e-3
         dzp = pos[:, 2] - camera.eye[2]
         szn = jnp.where(dzp >= 0, 1.0, -1.0)
+        # straddlers (AABB crossing the eye z-plane) RENDER: the march
+        # masks the planes behind the eye per step and the slab segment
+        # clamps at t = 0, so only the front part integrates — counted
+        # here because their footprints are often rect-clipped
         straddle = jnp.abs(dzp) <= half * 1.05
     else:
         px_c = (vx / camera.scale_x + 1.0) * (0.5 * W)
@@ -335,7 +342,7 @@ def _grid_geometry(particles: Particles, camera: Camera, cfg: SceneConfig,
     y_start = jnp.asarray(y_start, jnp.int32)
     on_screen = ((sx0 > -RP) & (sx0 < W)
                  & (sy0 > y_start - RP) & (sy0 < y_start + h_local))
-    valid = alive & in_front & ~straddle & on_screen
+    valid = alive & in_front & on_screen
     if r.near_fade_start > 0.0:
         valid = valid & (vz > r.near_fade_end)
 
@@ -387,8 +394,7 @@ def _grid_geometry(particles: Particles, camera: Camera, cfg: SceneConfig,
     stats = {
         "alive": jnp.sum(alive.astype(jnp.int32)),
         "rendered": jnp.sum(valid.astype(jnp.int32)),
-        "warp_culled": jnp.sum((alive & in_front & straddle)
-                               .astype(jnp.int32)),
+        "straddled": jnp.sum((valid & straddle).astype(jnp.int32)),
         "rect_overflow": rect_overflow,
     }
     return dict(px_c=px_c, py_c=py_c, sx0=sx0, sy0=sy0, szn=szn,

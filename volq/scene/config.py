@@ -276,7 +276,7 @@ def c3() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=24,
-                            engine="warp", warp_fp32=False, warp_rect=160,
+                            engine="warp", warp_fp32=False, warp_rect=144,
                             warp_march_rect=96, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
                             warp_shift_max=6,
