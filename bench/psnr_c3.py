@@ -1,0 +1,93 @@
+"""On-device quality ladder for a preset: PSNR of the production warp
+config (march-resolution decoupling, coarse steps, rect clipping)
+against reference-quality variants of ITSELF and against the exact
+per-ray engine.
+
+Used to gate perf trades (RM, S, rect) with measured numbers instead of
+guesses.  One steady-state frame is rendered per variant from the SAME
+advanced state.
+
+Usage: python bench/psnr_c3.py [preset] [variant ...]
+Variants: base (the preset as shipped), rm0 (full-res march), rm80,
+s20, s16, rect160, exact (per-ray gather march — minutes at 1080p).
+Default: base rm0 rm80 s20 exact-skip.
+"""
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def psnr(a, b):
+    err = np.asarray(a, np.float64)[..., :3] - np.asarray(b,
+                                                          np.float64)[..., :3]
+    return 10 * np.log10(1.0 / max(float(np.mean(err ** 2)), 1e-12))
+
+
+def variant_cfg(cfg, name):
+    r = cfg.render
+    if name == "base":
+        return cfg
+    if name == "rm0":
+        rr = dataclasses.replace(r, warp_march_rect=0)
+    elif name.startswith("rm"):
+        rr = dataclasses.replace(r, warp_march_rect=int(name[2:]))
+    elif name.startswith("s"):
+        rr = dataclasses.replace(r, steps=int(name[1:]))
+    elif name.startswith("rect"):
+        rr = dataclasses.replace(r, warp_rect=int(name[4:]))
+    elif name == "exact":
+        rr = dataclasses.replace(r, engine="exact")
+    else:
+        raise SystemExit(f"unknown variant {name}")
+    return dataclasses.replace(cfg, render=rr)
+
+
+def main():
+    import jax
+    from volq.scene.config import PRESETS
+    from volq.engine.loop import (setup, frame, render_only, _sync,
+                                  cached_light_volumes, cached_slab_banks)
+
+    preset = sys.argv[1] if len(sys.argv) > 1 else "c3"
+    variants = sys.argv[2:] or ["base", "rm0", "rm80", "s20"]
+    cfg = PRESETS[preset]()
+    state, camera, light = setup(cfg)
+    lv = cached_light_volumes(state, light, cfg)
+    sb = cached_slab_banks(state, lv, cfg)
+    # settle into a representative steady state
+    for _ in range(12):
+        state, image, stats = frame(state, camera, light, cfg, lv, sb)
+    _sync(image)
+
+    imgs = {}
+    base_stats = None
+    for name in ["base"] + [v for v in variants if v != "base"]:
+        vcfg = variant_cfg(cfg, name)
+        img, stats = render_only(state, camera, light, vcfg)
+        imgs[name] = np.asarray(jax.device_get(img))
+        if name == "base":
+            base_stats = {k: int(v) for k, v in
+                          jax.device_get(stats).items()}
+        print(f"{name:>8}: rendered", flush=True)
+
+    ref = ("exact" if "exact" in imgs
+           else "rm0" if "rm0" in imgs else "base")
+    print(f"\npreset {preset}; reference = {ref}; base stats: "
+          f"{base_stats}")
+    for name, img in imgs.items():
+        if name == ref:
+            continue
+        print(f"  {name:>8} vs {ref}: {psnr(img, imgs[ref]):6.2f} dB")
+    if "rm0" in imgs and ref != "rm0":
+        for name, img in imgs.items():
+            if name in (ref, "rm0"):
+                continue
+            print(f"  {name:>8} vs rm0: {psnr(img, imgs['rm0']):6.2f} dB")
+
+
+if __name__ == "__main__":
+    main()

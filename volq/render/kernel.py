@@ -238,12 +238,20 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
     if fused:
         WH, WW = comp["WH"], comp["WW"]
+        # The window splits into an ALWAYS-copied 256-column A half and
+        # a CONDITIONAL B half: a particle's rect only reaches columns
+        # >= 256 when dx + RP > 256 (the prefetched ``wide`` flag), so
+        # most particles skip the B half's canvas DMAs, placement
+        # matmul, and RMW entirely (Mosaic requires 128-aligned lane
+        # slice shapes, so the split points are 256/128, not dx + RP).
+        WWA = min(WW, 256)
+        WWB = WW - WWA
         cdt = canvas.dtype
 
     def kernel(vidx_ref, flip_ref, vld_ref, *rest):
         if fused:
-            oy_ref, ox_ref, dy_ref, dx_ref, ov_ref = rest[:5]
-            rest = rest[5:]
+            oy_ref, ox_ref, dy_ref, dx_ref, ov_ref, wide_ref = rest[:6]
+            rest = rest[6:]
         if use_stack:
             vol_stack = rest[0]
             rest = rest[1:]
@@ -270,7 +278,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             rest = rest[:5] + rest[7:]
         if fused:
             (gf, rxu, ryw, camf_r, lightf_r, canvas_in, canvas_out,
-             clamp_out, acc, geo, win, sem_in, sem_out) = rest
+             clamp_out, acc, geo, win, sem_in, sem_out,
+             semB_in, semB_out) = rest
         else:
             (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
              acc, geo) = rest
@@ -282,16 +291,34 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             y = pl.multiple_of(oy_ref[n], 8)
             x = pl.multiple_of(ox_ref[n], 128)
 
-            def cout_desc(bb):
+            def coutA_desc(bb):
                 return pltpu.make_async_copy(
-                    win.at[bb],
-                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WW)],
+                    win.at[bb, :, :, pl.ds(0, WWA)],
+                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WWA)],
                     sem_out.at[bb])
 
-            def cin_desc():
+            def cinA_desc():
                 return pltpu.make_async_copy(
-                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WW)],
-                    win.at[b], sem_in.at[b])
+                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WWA)],
+                    win.at[b, :, :, pl.ds(0, WWA)], sem_in.at[b])
+
+            if WWB:
+                # B-half copies are SYNCHRONOUS inside the wide-only
+                # epilogue block (started and waited there), so no
+                # cross-particle semaphore pairing exists for them —
+                # wide particles are the rare case and pay ~0.5 us each
+                xb = pl.multiple_of(x + WWA, 128)
+
+                def coutB_desc():
+                    return pltpu.make_async_copy(
+                        win.at[b, :, :, pl.ds(WWA, WWB)],
+                        canvas_out.at[:, pl.ds(y, WH), pl.ds(xb, WWB)],
+                        semB_out)
+
+                def cinB_desc():
+                    return pltpu.make_async_copy(
+                        canvas_out.at[:, pl.ds(y, WH), pl.ds(xb, WWB)],
+                        win.at[b, :, :, pl.ds(WWA, WWB)], semB_in)
 
         lo_x = gf[0, 0, _G_LOX]
         lo_y = gf[0, 0, _G_LOY]
@@ -372,13 +399,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 @pl.when((n >= 2)
                          & (ov_ref[jnp.maximum(n - 1, 0)] == 0))
                 def _wait_reuse():
-                    cout_desc(b).wait()
+                    coutA_desc(b).wait()
 
                 @pl.when(ov_ref[n] == 1)
                 def _wait_overlap():
-                    cout_desc(1 - b).wait()
+                    coutA_desc(1 - b).wait()
 
-                cin_desc().start()
+                cinA_desc().start()
 
         # ---- marching steps (U unrolled per grid step) -------------------
         # rows that are invalid (dead/culled, or the other size class in
@@ -699,62 +726,6 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 if _ABLATE != "fan":
                     img4 = shift_interp(img4, dw, axis=0)
 
-            # hat-upsample march grid -> rect (identity when RM == RP).
-            # FUSED: the (dy, dx) sub-tile canvas placement FOLDS INTO
-            # the upsample weights — everything from here on is linear
-            # in the planes, so upsampling straight into window
-            # coordinates replaces the old pad-buffer + 8 pltpu.rolls
-            # per particle (the single largest composite VPU cost) and
-            # lets the window shrink to RP + 128 columns.  Window
-            # rows/cols outside the rect get hat position -2 => all-zero
-            # weight row => exactly the OVER identity (P = 0, T = 1)
-            # the pad ring used to provide.  Weight VALUES and the
-            # contraction order are bit-identical to upsample_weights +
-            # roll placement; with RM == RP the weights are an exact
-            # {0, 1} permutation and the matmuls run f32/HIGHEST, so no
-            # new rounding point exists vs the rolls.
-            if fused:
-                ratio_m = float(np.float32(RM - 1)
-                                / np.float32(max(RP - 1, 1)))
-                exact = RM == RP
-                pdt = jnp.float32 if exact else wdt
-                pprec = jax.lax.Precision.HIGHEST if exact else prec
-                dyf = dy_ref[n].astype(jnp.float32)
-                dxf = dx_ref[n].astype(jnp.float32)
-                iww = jax.lax.broadcasted_iota(
-                    jnp.int32, (WH, 1), 0).astype(jnp.float32)
-                posy = iww - dyf                      # rect row index
-                gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
-                                posy * ratio_m, -2.0)        # [WH, 1]
-                m_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (WH, RM), 1).astype(jnp.float32)
-                Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
-                    .astype(pdt)                             # [WH, RM]
-                jww = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, WW), 1).astype(jnp.float32)
-                posx = jww - dxf
-                gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
-                                posx * ratio_m, -2.0)        # [1, WW]
-                k_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (RM, WW), 0).astype(jnp.float32)
-                Uxp = jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)) \
-                    .astype(pdt)                             # [RM, WW]
-
-                def placew(pln):     # [RM, RM] -> placed [WH, WW]
-                    if _ABLATE == "up":    # skip the placement matmuls
-                        # (scalar splat keeps the data dependency; 2-D
-                        # broadcasts of [1,1] slices don't lower)
-                        return jnp.zeros((WH, WW), jnp.float32) \
-                            + jnp.sum(pln) * 1e-9
-                    t_ = jax.lax.dot_general(
-                        Uyp, pln.astype(pdt), (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=pprec)
-                    return jax.lax.dot_general(
-                        t_.astype(pdt), Uxp, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=pprec)
-
             # The unlit/center exps run AT MARCH RESOLUTION, before the
             # upsample: the upsampled quantity is the saturated opacity
             # P2 (and P1), not the linear optical depth — the classic
@@ -775,10 +746,70 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # unlit places/upsamples ONE plane (P1 is an alias of P2)
             one_plane = not lit
 
+            # hat-upsample march grid -> rect (identity when RM == RP).
+            # FUSED: the (dy, dx) sub-tile canvas placement FOLDS INTO
+            # the upsample weights — everything from here on is linear
+            # in the planes, so upsampling straight into window
+            # coordinates replaces the old pad-buffer + 8 pltpu.rolls
+            # per particle (the single largest composite VPU cost).
+            # Window rows/cols outside the rect get hat position -2 =>
+            # all-zero weight row => exactly the OVER identity
+            # (P = 0, T = 1) the pad ring used to provide.  Weight
+            # VALUES and the contraction order are bit-identical to
+            # upsample_weights + roll placement; with RM == RP the
+            # weights are an exact {0, 1} permutation and the matmuls
+            # run f32/HIGHEST, so no new rounding point exists vs the
+            # rolls.
             if fused:
-                placed = ([placew(P2m)] if one_plane
-                          else [placew(P1m), placew(P2m)])
-                P1, P2 = (placed[0], placed[0]) if one_plane else placed
+                ratio_m = float(np.float32(RM - 1)
+                                / np.float32(max(RP - 1, 1)))
+                exact = RM == RP
+                pdt = jnp.float32 if exact else wdt
+                pprec = jax.lax.Precision.HIGHEST if exact else prec
+                dyf = dy_ref[n].astype(jnp.float32)
+                dxf = dx_ref[n].astype(jnp.float32)
+                iww = jax.lax.broadcasted_iota(
+                    jnp.int32, (WH, 1), 0).astype(jnp.float32)
+                posy = iww - dyf                      # rect row index
+                gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
+                                posy * ratio_m, -2.0)        # [WH, 1]
+                m_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (WH, RM), 1).astype(jnp.float32)
+                Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
+                    .astype(pdt)                             # [WH, RM]
+                planes_m = [P2m] if one_plane else [P1m, P2m]
+                if _ABLATE != "up":
+                    # the y-side contraction is shared by both window
+                    # halves
+                    t_list = [jax.lax.dot_general(
+                        Uyp, p.astype(pdt), (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pprec).astype(pdt)
+                        for p in planes_m]                   # [WH, RM]
+
+                def xplace(off, wwn):
+                    """Placed planes for window columns [off, off+wwn)."""
+                    if _ABLATE == "up":    # skip the placement matmuls
+                        # (scalar splat keeps the data dependency; 2-D
+                        # broadcasts of [1,1] slices don't lower)
+                        return [jnp.zeros((WH, wwn), jnp.float32)
+                                + jnp.sum(p) * 1e-9 for p in planes_m]
+                    jwn = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, wwn), 1).astype(jnp.float32) + off
+                    posx = jwn - dxf
+                    gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
+                                    posx * ratio_m, -2.0)    # [1, wwn]
+                    k_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (RM, wwn), 0).astype(jnp.float32)
+                    Uxp = jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)) \
+                        .astype(pdt)                         # [RM, wwn]
+                    return [jax.lax.dot_general(
+                        t, Uxp, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=pprec) for t in t_list]
+
+            if fused:
+                pass   # placement + RMW happen per window half below
             elif RM != RP:
                 def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
                     if _ABLATE == "up":    # skip the upsample matmuls
@@ -820,22 +851,25 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             if fused:
                 # ---- fused composite: RMW this particle's canvas
-                # window in place (see composite_chunk_pallas).  The
-                # planes are already PLACED in window coordinates, so
-                # the RGB expansion feeds the RMW directly — no pad
-                # buffer, no rolls.
-                cin_desc().wait()
-                wref = win.at[b]
-                if _ABLATE != "comp":   # "comp": keep the canvas DMAs,
-                    Tw = wref[3].astype(jnp.float32)   # skip the RMW
+                # window in place, per window half.  The placed planes
+                # feed the RGB expansion straight into the RMW — no
+                # pad buffer, no rolls.
+                def rmw(col0, wwn, placed):
+                    """RMW window columns [col0, col0+wwn) of win[b]."""
+                    if _ABLATE == "comp":   # keep DMAs, skip the RMW
+                        return
+                    P1h, P2h = ((placed[0], placed[0]) if one_plane
+                                else placed)
+                    Tw = win[b, 3, :, col0:col0 + wwn] \
+                        .astype(jnp.float32)
                     # scalar-weight hoist: the window-sized products
                     # T2 = Tw*P2 (and T1 = Tw*P1) are shared across
                     # channels, each channel fma then uses SCALAR
                     # coefficients only (unlit folds to ONE fma:
                     # alb*(lcol+amb) is a scalar), and the T update is
                     # Tw - T2 == Tw*(1 - P2) reassociated
-                    T2 = Tw * P2
-                    T1 = T2 if one_plane else Tw * P1
+                    T2 = Tw * P2h
+                    T1 = T2 if one_plane else Tw * P1h
                     for ch in range(3):
                         alb = gf[0, 0, _G_ALB_R + ch]
                         if one_plane:
@@ -845,18 +879,35 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         else:
                             upd = (alb * lightf_r[0, ch]) * T1 \
                                 + (alb * lightf_r[0, 3 + ch]) * T2
-                        wref[ch] = (wref[ch].astype(jnp.float32)
-                                    + upd).astype(cdt)
-                    wref[3] = (Tw - T2).astype(cdt)
-                cout_desc(b).start()
+                        win[b, ch, :, col0:col0 + wwn] = (
+                            win[b, ch, :, col0:col0 + wwn]
+                            .astype(jnp.float32) + upd).astype(cdt)
+                    win[b, 3, :, col0:col0 + wwn] = (Tw - T2).astype(cdt)
+
+                cinA_desc().wait()
+                rmw(0, WWA, xplace(0, WWA))
+                coutA_desc(b).start()
+
+                if WWB:
+                    # rare wide particles touch columns >= WWA: fetch,
+                    # RMW and write back the B half SYNCHRONOUSLY
+                    @pl.when(wide_ref[n] == 1)
+                    def _b_half():
+                        cinB_desc().start()
+                        placed_b = xplace(WWA, WWB)
+                        cinB_desc().wait()
+                        rmw(WWA, WWB, placed_b)
+                        cb = coutB_desc()
+                        cb.start()
+                        cb.wait()
 
                 @pl.when(n == N - 1)
                 def _drain_own():
-                    cout_desc(b).wait()
+                    coutA_desc(b).wait()
                 if N > 1:
                     @pl.when((n == N - 1) & (ov_ref[n] == 0))
                     def _drain_prev():
-                        cout_desc(1 - b).wait()
+                        coutA_desc(1 - b).wait()
 
     def vol_spec(u, off):
         # invalid rows (dead/culled or the other size class) map to a
@@ -959,7 +1010,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     if fused:
         Hc, Wc = comp["Hc"], comp["Wc"]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=9,
             grid=(N, SG),
             in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
@@ -969,12 +1020,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             ],
             scratch_shapes=scratch + [
                 pltpu.VMEM((2, 4, WH, WW), canvas.dtype),    # win x2
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),               # A in
+                pltpu.SemaphoreType.DMA((2,)),               # A out
+                pltpu.SemaphoreType.DMA(()),                 # B in
+                pltpu.SemaphoreType.DMA(()),                 # B out
             ],
         )
-        # canvas position: 8 prefetch + tensor inputs, canvas last
-        alias_idx = 8 + len(inputs)
+        # canvas position: 9 prefetch + tensor inputs, canvas last
+        alias_idx = 9 + len(inputs)
         canvas_out, clamp = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -984,7 +1037,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(vidx, flip, vld_i, comp["oy"], comp["ox"], comp["dy"],
-          comp["dx"], comp["ov"], *inputs, canvas)
+          comp["dx"], comp["ov"], comp["wide"], *inputs, canvas)
         return canvas_out, clamp[0, 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

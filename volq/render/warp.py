@@ -923,11 +923,15 @@ def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
     ox = jnp.clip(geom_o["sx0"] + RP, 0, Wc - WW).astype(jnp.int32)
     oy_al = (oy // 8) * 8
     ox_al = (ox // 128) * 128
+    dx = ox - ox_al
     ov = ((jnp.abs(oy_al - jnp.roll(oy_al, 1)) < WH)
           & (jnp.abs(ox_al - jnp.roll(ox_al, 1)) < WW)).astype(jnp.int32)
     ov = ov.at[0].set(0)
-    return dict(oy=oy_al, ox=ox_al, dy=oy - oy_al, dx=ox - ox_al, ov=ov,
-                WH=WH, WW=WW, Hc=Hc, Wc=Wc)
+    # the rect reaches past the window's always-copied 256-column A half
+    # only when dx + RP > 256 (the kernel's rare synchronous B half)
+    wide = (dx + RP > min(WW, 256)).astype(jnp.int32)
+    return dict(oy=oy_al, ox=ox_al, dy=oy - oy_al, dx=dx, ov=ov,
+                wide=wide, WH=WH, WW=WW, Hc=Hc, Wc=Wc)
 
 
 def _canvas_init(cfg: SceneConfig, h_local):
