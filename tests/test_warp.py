@@ -219,27 +219,29 @@ def test_warp_pallas_matches_xla_path(tiny_cfg):
                   - np.asarray(img_p, np.float64)).max() < 1e-5
 
 
-@pytest.mark.parametrize("pallas", [False, True])
-def test_warp_two_class_rects_match_oracle(tiny_cfg, pallas):
-    """warp_rect_small: particles whose footprint fits the small rect
-    march at the small size; the split is an fp32 decision mirrored by
-    the oracle.  The scene mixes sizes so both classes are populated."""
+def test_warp_mixed_sizes_match_oracle(tiny_cfg):
+    """A 3.6x particle-size spread renders through the single-class
+    fused path and matches the oracle (incl. with megachunks in the
+    unfused path).  (The two-size-class rect machinery was DELETED in
+    round 3: it measured 10.1 ms vs the single-class fused path's
+    4.6 ms on its own designed-for 10x-size-spread c3 scene.)"""
     cfg = dataclasses.replace(
         tiny_cfg,
         emitter=dataclasses.replace(tiny_cfg.emitter, size_min=0.25,
                                     size_max=0.9),
         render=dataclasses.replace(tiny_cfg.render, engine="warp",
-                                   warp_rect=64, warp_rect_small=32,
-                                   warp_chunk=4, warp_pallas=pallas))
+                                   warp_rect=64, warp_chunk=4,
+                                   warp_pallas=True))
     state, camera, light = setup(cfg)
     d, img, stats = _diff(cfg, state, camera, light)
     assert img[..., 3].max() > 0.05
     assert d < TOL, f"max diff {d}"
-    # and with megachunks
+    # and with megachunks (unfused)
     cfg2 = dataclasses.replace(
-        cfg, render=dataclasses.replace(cfg.render, warp_mega=4))
+        cfg, render=dataclasses.replace(cfg.render, warp_mega=4,
+                                        warp_fused=False))
     d2, _, _ = _diff(cfg2, state, camera, light)
-    assert d2 < TOL, f"megachunked two-class: max diff {d2}"
+    assert d2 < TOL, f"megachunked: max diff {d2}"
 
 
 def test_warp_fused_matches_unfused(tiny_cfg):

@@ -72,6 +72,12 @@ def main(argv=None):
     ap.add_argument("--out", default="out")
     ap.add_argument("--png", action="store_true", help="save PNG frames")
     ap.add_argument("--npy", action="store_true", help="save npy frames")
+    ap.add_argument("--gif", metavar="PATH",
+                    help="collect every rendered frame into an animated "
+                    "GIF at PATH (downscaled to --gif-width)")
+    ap.add_argument("--gif-width", type=int, default=960,
+                    help="max GIF width in pixels (default 960)")
+    ap.add_argument("--gif-fps", type=float, default=30.0)
     ap.add_argument("--bench", action="store_true",
                     help="time steady-state frames instead of saving")
     ap.add_argument("--checkpoint", help="save final state here (.npz)")
@@ -167,15 +173,19 @@ def main(argv=None):
     launches = [fpl] * (args.frames // fpl)
     if args.frames % fpl:
         launches.append(args.frames % fpl)
+    gif_frames = []
     t_start = time.perf_counter()
     for i, n_launch in enumerate(launches):
         state, image, stats = step(state, n_launch)
-        if args.png or not args.npy:
+        if args.png or not (args.npy or args.gif):
             io.save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
                         io.tonemap(jax.device_get(image)))
         if args.npy:
             io.save_npy(os.path.join(args.out, f"frame_{i:04d}.npy"),
                         jax.device_get(image))
+        if args.gif:
+            gif_frames.append(io.downscale_u8(
+                io.tonemap(jax.device_get(image)), args.gif_width))
         host = {k: int(v) for k, v in jax.device_get(stats).items()}
         print(f"frame {i}: " + " ".join(f"{k}={v}" for k, v in
                                         sorted(host.items())),
@@ -183,6 +193,10 @@ def main(argv=None):
     dt = time.perf_counter() - t_start
     print(f"{args.frames} frames in {dt:.2f}s "
           f"({args.frames / dt:.1f} fps incl. IO)", file=sys.stderr)
+    if args.gif and gif_frames:
+        io.save_gif(args.gif, gif_frames, fps=args.gif_fps)
+        print(f"GIF ({len(gif_frames)} frames) written to {args.gif}",
+              file=sys.stderr)
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)

@@ -76,3 +76,23 @@ def save_png(path: str, rgba_u8: np.ndarray):
 
 def save_npy(path: str, image):
     np.save(path, np.asarray(image))
+
+
+def downscale_u8(img_u8: np.ndarray, max_width: int) -> np.ndarray:
+    """Integer-free bilinear downscale (PIL) of a uint8 frame to at most
+    ``max_width`` columns — used to keep animated demo artifacts small."""
+    if max_width <= 0 or img_u8.shape[1] <= max_width:
+        return img_u8
+    from PIL import Image
+    im = Image.fromarray(img_u8)
+    h = round(im.height * max_width / im.width)
+    return np.asarray(im.resize((max_width, h), Image.BILINEAR))
+
+
+def save_gif(path: str, frames, fps: float = 30.0):
+    """Animated GIF from a list of uint8 [H, W, 3|4] frames (the demo
+    artifact format — the reference validated itself with README GIFs)."""
+    from PIL import Image
+    imgs = [Image.fromarray(np.asarray(f)[..., :3]) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(int(1000 / fps), 20), loop=0, optimize=True)

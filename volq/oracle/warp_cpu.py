@@ -155,36 +155,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
 
     alive = np.asarray(particles.age) < np.asarray(particles.lifetime)
 
-    # per-particle rect size: the two-class split (warp_rect_small) is an
-    # fp32 footprint decision mirrored from render/warp._grid_geometry's
-    # conservative corner-projection rect
-    RPs = r.warp_rect_small
-    if 0 < RPs < RP:
-        signs = np.asarray([[a, b, c] for a in (-1, 1) for b in (-1, 1)
-                            for c in (-1, 1)], np.float32)
-        corners = pos[:, None, :] + size[:, None, None] * signs[None]
-        crel = corners - eye
-        cvx = crel @ right
-        cvy = crel @ up
-        cvz = crel @ fwd
-        if proj == "persp":
-            cvz = np.maximum(cvz, f32(1e-3))
-            cpx = (cvx / (cvz * sx) + f32(1.0)) * f32(0.5 * W)
-            cpy = (f32(1.0) - cvy / (cvz * sy)) * f32(0.5 * H)
-        else:
-            cpx = (cvx / sx + f32(1.0)) * f32(0.5 * W)
-            cpy = (f32(1.0) - cvy / sy) * f32(0.5 * H)
-        foot_w = cpx.max(1) - cpx.min(1)
-        foot_h = cpy.max(1) - cpy.min(1)
-        is_small = (foot_w < RPs - 4.0) & (foot_h < RPs - 4.0)
-        RP_arr = np.where(is_small, RPs, RP).astype(np.int64)
-    else:
-        RP_arr = np.full(N, RP, np.int64)
-
-    sx0 = (np.round(px_c) - RP_arr // 2).astype(np.int64)
-    sy0 = (np.round(py_c) - RP_arr // 2).astype(np.int64)
-    on_screen = ((sx0 > -RP_arr) & (sx0 < W)
-                 & (sy0 > y_start - RP_arr) & (sy0 < y_start + h_local))
+    sx0 = (np.round(px_c) - RP // 2).astype(np.int64)
+    sy0 = (np.round(py_c) - RP // 2).astype(np.int64)
+    on_screen = ((sx0 > -RP) & (sx0 < W)
+                 & (sy0 > y_start - RP) & (sy0 < y_start + h_local))
     # straddlers render (front z-planes only, via the per-step tpos
     # test below — mirror of the device's straddle handling)
     valid = alive & in_front & on_screen
@@ -200,7 +174,7 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     for pi in order:
         if not valid[pi]:
             continue
-        RP_pi = int(RP_arr[pi])
+        RP_pi = RP
         # march-grid resolution (mirror of march_rect: RM < RP marches
         # an endpoint-aligned coarse grid, upsampled after the march)
         RM_pi = RM if RP_pi == RP else RP_pi

@@ -24,8 +24,8 @@ DEPTH-ORDERED particle list:
   intersect (precomputed hazards).
 
 The unfused pair (``march_warp_pallas`` without canvas +
-``composite_chunk_pallas`` / ``composite_classes_pallas``) remains for
-the two-size-class path and A/B testing (cfg.render.warp_fused=False).
+``composite_chunk_pallas``) remains for A/B testing
+(cfg.render.warp_fused=False).
 
 Semantics are identical to the XLA path (same fp32 decision math, same
 bf16 rounding points); both are held to oracle/warp_cpu.py's 1e-3.
@@ -1237,123 +1237,3 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(order, oy_al, ox_al, dy, dx, ov, images, canvas0)
-
-
-def composite_classes_pallas(canvas, classes, cls_idx, cfg: SceneConfig,
-                             y_start, h_local, order=None):
-    """Two-size-class canvas composite: like composite_chunk_pallas but
-    each particle's window size follows its size class (small particles
-    move ~60% less DMA traffic).  ``classes`` is a list of
-    (images [N, 4, RPc, RPc], RPc, geom_c) — at most 2; ``cls_idx`` [N]
-    i32 selects the class per particle.  Depth order = ``order`` (or the
-    array order).  Images are fetched with manual per-class DMAs (the
-    auto-pipelined block cannot switch source arrays)."""
-    r = cfg.render
-    N = classes[0][0].shape[0]
-    WH_l, WW_l, Hc, Wc = _canvas_dims(cfg, h_local)
-
-    if order is None:
-        order = jnp.arange(N, dtype=jnp.int32)
-
-    dims = []
-    offs = []
-    padded_images = []
-    for images_c, RPc, geom_c in classes:
-        WHc = RPc + 8
-        WWc = -(-(RPc + 128) // 128) * 128
-        # manual DMA slices need 128-aligned lane dims: pad image widths
-        RPW = -(-RPc // 128) * 128
-        if RPW != RPc:
-            images_c = jnp.pad(images_c,
-                               ((0, 0), (0, 0), (0, 0), (0, RPW - RPc)))
-        padded_images.append(images_c)
-        dims.append((RPc, RPW, WHc, WWc))
-        oy = jnp.clip(geom_c["sy0"] - jnp.asarray(y_start, jnp.int32)
-                      + r.warp_rect, 0, Hc - WHc).astype(jnp.int32)
-        ox = jnp.clip(geom_c["sx0"] + r.warp_rect,
-                      0, Wc - WWc).astype(jnp.int32)
-        oy_al = (oy // 8) * 8
-        ox_al = (ox // 128) * 128
-        offs += [oy_al, ox_al, oy - oy_al, ox - ox_al]
-
-    n_cls = len(classes)
-
-    def kernel(*refs):
-        # prefetch: order, cls, then 4 offset arrays per class
-        order_ref = refs[0]
-        cls_ref = refs[1]
-        off_refs = refs[2:2 + 4 * n_cls]
-        img_refs = refs[2 + 4 * n_cls:2 + 5 * n_cls]
-        out_ref = refs[2 + 5 * n_cls + 1]
-        scratch = refs[2 + 5 * n_cls + 2:]
-        # scratch: per class (img, win, pad), then 3 sems
-        sem_img, sem_in, sem_out = scratch[3 * n_cls:]
-        k = pl.program_id(0)
-        p = order_ref[k]
-
-        for c, (RPc, RPW, WHc, WWc) in enumerate(dims):
-            oy_r, ox_r, dy_r, dx_r = off_refs[4 * c:4 * c + 4]
-            img_s, win, pad = scratch[3 * c:3 * c + 3]
-
-            @pl.when(cls_ref[p] == c)
-            def _do(RPc=RPc, RPW=RPW, WHc=WHc, WWc=WWc, oy_r=oy_r, ox_r=ox_r,
-                    dy_r=dy_r, dx_r=dx_r, img_s=img_s, win=win, pad=pad,
-                    img_ref=img_refs[c]):
-                y = pl.multiple_of(oy_r[p], 8)
-                x = pl.multiple_of(ox_r[p], 128)
-                cim = pltpu.make_async_copy(img_ref.at[p], img_s, sem_img)
-                cim.start()
-                cin = pltpu.make_async_copy(
-                    out_ref.at[:, pl.ds(y, WHc), pl.ds(x, WWc)], win,
-                    sem_in)
-                cin.start()
-                pad[:] = jnp.zeros((4, WHc, WWc), jnp.float32)
-                pad[3] = jnp.ones((WHc, WWc), jnp.float32)
-                cim.wait()
-                pad[:, :RPc, :RPc] = img_s[:, :, :RPc].astype(jnp.float32)
-                dyv = dy_r[p]
-                dxv = dx_r[p]
-
-                def place(ch):
-                    return pltpu.roll(pltpu.roll(pad[ch], dyv, axis=0),
-                                      dxv, axis=1)
-
-                cin.wait()
-                Tw = win[3].astype(jnp.float32)
-                for ch in range(3):
-                    win[ch] = (win[ch].astype(jnp.float32)
-                               + Tw * place(ch)).astype(win.dtype)
-                win[3] = (Tw * place(3)).astype(win.dtype)
-                cout = pltpu.make_async_copy(
-                    win, out_ref.at[:, pl.ds(y, WHc), pl.ds(x, WWc)],
-                    sem_out)
-                cout.start()
-                cout.wait()
-
-    scratch_shapes = []
-    for (images_c, RPc, _), (RPc2, RPW, WHc, WWc) in zip(classes, dims):
-        scratch_shapes += [
-            pltpu.VMEM((4, RPc, RPW), images_c.dtype),
-            pltpu.VMEM((4, WHc, WWc), canvas.dtype),
-            pltpu.VMEM((4, WHc, WWc), jnp.float32),
-        ]
-    scratch_shapes += [pltpu.SemaphoreType.DMA(())] * 3
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 + 4 * n_cls,
-        grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_cls
-        + [pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=scratch_shapes,
-    )
-
-    alias_idx = 2 + 4 * n_cls + n_cls   # canvas position in the arg list
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, Hc, Wc), canvas.dtype),
-        input_output_aliases={alias_idx: 0},
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(order, cls_idx, *offs, *padded_images, canvas)

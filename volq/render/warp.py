@@ -222,7 +222,7 @@ def march_rect(cfg: SceneConfig) -> int:
     the march cost by RM/RP (dot1, weights) and (RM/RP)^2 (dot2)."""
     r = cfg.render
     RM = r.warp_march_rect
-    if not RM or RM >= r.warp_rect or r.warp_rect_small:
+    if not RM or RM >= r.warp_rect:
         return r.warp_rect
     return RM
 
@@ -1006,8 +1006,6 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     ``warp_mega`` (march a chunk -> composite it onto the carried canvas
     -> next chunk), bounding the [chunk, 4, RP, RP] image buffer — 16k
     particles at 4K would otherwise need a multi-GB buffer."""
-    import dataclasses as _dc
-
     r = cfg.render
     if h_local is None:
         h_local = r.height
@@ -1027,21 +1025,10 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
                       bake_march_slabs(light_volumes, r.steps, wdt)
                       if lit_ else None)
 
-    # Two size classes (warp_rect_small): particles whose footprint fits
-    # the small rect march/composite at ~40% of the large-rect cost (the
-    # typical footprint is far below the worst-case rect the preset must
-    # cover).  The class split is an fp32 decision mirrored by the oracle.
-    RPs = r.warp_rect_small
-    two_class = 0 < RPs < r.warp_rect
-    if two_class:
-        cfg_s = _dc.replace(cfg, render=_dc.replace(r, warp_rect=RPs))
-        geom_s, _ = _grid_geometry(particles, camera, cfg_s, y_start,
-                                   h_local)
-        is_small = ((geom["foot_w"] < RPs - 4.0)
-                    & (geom["foot_h"] < RPs - 4.0))
-        geom_s = dict(geom_s, valid=geom_s["valid"] & is_small)
-        geom_l = dict(geom, valid=geom["valid"] & ~is_small)
-        cls = jnp.where(is_small, 0, 1).astype(jnp.int32)
+    # (A two-size-class rect path existed through round 2; it measured
+    # SLOWER than the single-class fused path on every preset AND on its
+    # own designed-for extreme-size-ratio scene — 10.1 vs 4.6 ms on a
+    # 10x-size-spread c3 variant, round 3 — and was deleted.)
 
     z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
     order = jnp.argsort(z, stable=True).astype(jnp.int32)
@@ -1055,10 +1042,8 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     if r.warp_pallas:
         from volq.render.kernel import (march_warp_pallas, canvas_init_pallas,
                                         composite_chunk_pallas,
-                                        composite_classes_pallas,
                                         stack_bank_resident)
-        canvas = canvas_init_pallas(cfg, h_local,
-                                    fused=r.warp_fused and not two_class)
+        canvas = canvas_init_pallas(cfg, h_local, fused=r.warp_fused)
         # Shared-volume banks streamed per particle (too big for the
         # VMEM-resident mode): march in VOL-IDX-SORTED order so runs of
         # equal vol_idx share ONE slab-stack DMA (the kernel's block
@@ -1074,7 +1059,7 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         canvas = _canvas_init(cfg, h_local)
         march_vol_sort = False
 
-    if r.warp_pallas and r.warp_fused and not two_class:
+    if r.warp_pallas and r.warp_fused:
         # FUSED march+composite: one kernel over the whole depth-ordered
         # particle list — no [N, 4, RP, RP] image round-trip, no separate
         # composite dispatch, no megachunking (the canvas RMW streams).
@@ -1093,8 +1078,7 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     shift_clamped = jnp.int32(0)
     for m in range(n_mega):
         comp_order = None
-        if n_mega == 1 and r.warp_pallas and not two_class \
-                and not march_vol_sort:
+        if n_mega == 1 and r.warp_pallas and not march_vol_sort:
             parts_m, geom_m = particles, geom
             comp_order = order
         else:
@@ -1108,57 +1092,19 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
                 comp_order = jnp.argsort(msort).astype(jnp.int32)
             parts_m = jax.tree.map(lambda a: a[ids], particles)
             geom_m = {k: v[ids] for k, v in geom.items()}
-            if two_class:
-                geom_sm = {k: v[ids] for k, v in geom_s.items()}
-                geom_lm = {k: v[ids] for k, v in geom_l.items()}
-                cls_m = cls[ids]
         if r.warp_pallas:
-            if two_class:
-                imgs_s, sc_s = march_warp_pallas(
-                    parts_m, volumes, camera, light, cfg_s, geom_sm,
-                    light_volumes=light_volumes, slab_banks=slab_banks)
-                imgs_l, sc_l = march_warp_pallas(
-                    parts_m, volumes, camera, light, cfg, geom_lm,
-                    light_volumes=light_volumes, slab_banks=slab_banks)
-                canvas = composite_classes_pallas(
-                    canvas, [(imgs_s, RPs, geom_sm),
-                             (imgs_l, r.warp_rect, geom_lm)],
-                    cls_m, cfg, y_start, h_local, order=comp_order)
-                sc = sc_s + sc_l
-            else:
-                images, sc = march_warp_pallas(
-                    parts_m, volumes, camera, light, cfg, geom_m,
-                    light_volumes=light_volumes, slab_banks=slab_banks)
-                canvas = composite_chunk_pallas(
-                    canvas, images, geom_m, cfg, y_start, h_local,
-                    order=comp_order)
+            images, sc = march_warp_pallas(
+                parts_m, volumes, camera, light, cfg, geom_m,
+                light_volumes=light_volumes, slab_banks=slab_banks)
+            canvas = composite_chunk_pallas(
+                canvas, images, geom_m, cfg, y_start, h_local,
+                order=comp_order)
         else:
-            if two_class:
-                imgs_s = _march_images(parts_m, volumes, camera, light,
-                                       cfg_s, geom_sm,
-                                       light_volumes=light_volumes)
-                imgs_s, sc_s = _warp_images(imgs_s, parts_m, camera,
-                                            light, cfg_s, geom_sm)
-                imgs_l = _march_images(parts_m, volumes, camera, light,
-                                       cfg, geom_lm,
-                                       light_volumes=light_volumes)
-                imgs_l, sc_l = _warp_images(imgs_l, parts_m, camera,
-                                            light, cfg, geom_lm)
-                images = _merge_class_images(imgs_s, imgs_l, cls_m,
-                                             r.warp_rect)
-                geom_m = dict(
-                    geom_lm,
-                    sy0=jnp.where(cls_m == 0, geom_sm["sy0"],
-                                  geom_lm["sy0"]),
-                    sx0=jnp.where(cls_m == 0, geom_sm["sx0"],
-                                  geom_lm["sx0"]))
-                sc = sc_s + sc_l
-            else:
-                images = _march_images(parts_m, volumes, camera, light,
-                                       cfg, geom_m,
-                                       light_volumes=light_volumes)
-                images, sc = _warp_images(images, parts_m, camera, light,
-                                          cfg, geom_m)
+            images = _march_images(parts_m, volumes, camera, light,
+                                   cfg, geom_m,
+                                   light_volumes=light_volumes)
+            images, sc = _warp_images(images, parts_m, camera, light,
+                                      cfg, geom_m)
             canvas = _composite_chunk(canvas, images, geom_m, cfg,
                                       y_start, h_local)
         shift_clamped = shift_clamped + sc
@@ -1167,18 +1113,6 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         canvas = jnp.concatenate([canvas[0], canvas[1][None]], axis=0)
     stats = dict(stats, shift_clamped=shift_clamped)
     return canvas, stats
-
-
-def _merge_class_images(imgs_small, imgs_large, cls, RP):
-    """Pad small-class images into RP-sized OVER-identity frames (placed
-    at the top-left, where their rect origin points) and merge with the
-    large-class images by class."""
-    n, _, RPs, _ = imgs_small.shape
-    base = jnp.zeros((n, 4, RP, RP), jnp.float32) \
-        .at[:, 3].set(1.0) \
-        .at[:, :, :RPs, :RPs].set(imgs_small.astype(jnp.float32))
-    return jnp.where((cls == 0)[:, None, None, None], base,
-                     imgs_large.astype(jnp.float32))
 
 
 def render_warp(particles: Particles, volumes, camera: Camera, light: Light,

@@ -105,10 +105,6 @@ class RenderConfig:
                                # pixels (RP x RP); particles with a larger
                                # screen footprint are clipped (counted in
                                # stats as rect_overflow)
-    warp_rect_small: int = 0   # warp engine: second (small) rect class in
-                               # pixels; particles whose footprint fits it
-                               # march/composite at ~40% of the large-rect
-                               # cost (0 = single class).  Multiple of 16.
     light_mode: str = "march"  # baked-light sampling in the slab/warp
                                # fast paths: "march" samples the light
                                # volume at EVERY step (per-sample
@@ -183,13 +179,8 @@ class SceneConfig:
         if r.light_mode not in ("march", "center"):
             raise ValueError(f"bad light_mode {r.light_mode!r} "
                              "(expected 'march' or 'center')")
-        if r.warp_march_rect:
-            if r.warp_march_rect % 16:
-                raise ValueError("warp_march_rect must be a multiple "
-                                 "of 16")
-            if r.warp_rect_small:
-                raise ValueError("warp_march_rect requires a single "
-                                 "rect class (warp_rect_small = 0)")
+        if r.warp_march_rect and r.warp_march_rect % 16:
+            raise ValueError("warp_march_rect must be a multiple of 16")
 
 
 # ---------------------------------------------------------------------------
@@ -275,9 +266,9 @@ def c3() -> SceneConfig:
                             curl_strength=1.4, curl_freq=0.35),
         camera=CameraConfig(eye=(0.0, 2.5, -13.5), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
-        render=RenderConfig(width=1920, height=1080, steps=24,
+        render=RenderConfig(width=1920, height=1080, steps=20,
                             engine="warp", warp_fp32=False, warp_rect=144,
-                            warp_march_rect=96, warp_canvas_fp32=False,
+                            warp_march_rect=80, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
                             warp_shift_max=6,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
