@@ -9,8 +9,9 @@ where the baseline is the driver target of 500 Mrays/s per v5e chip
 The measured quantity is the full frame step (sim + march + composite)
 in steady state with the image kept on device — pixels/sec/1e6.  The
 harness is engine/loop.time_frames (shared with bench/suite.py and the
-CLI --bench, so all three report the same number): 6 frames per device
-dispatch, fetch-synced fences, median of 3 measurement windows.
+CLI --bench, so all three report the same number): 12 frames per device
+dispatch (measured knee of the dispatch-amortization curve, DESIGN.md
+§5e), fetch-synced fences, median of 3 measurement windows.
 """
 import os
 import sys
@@ -24,7 +25,7 @@ def main():
     from volq.engine.loop import time_frames
 
     cfg = c3()
-    dt, _stats = time_frames(cfg, 24, fb=6, windows=3)
+    dt, _stats = time_frames(cfg, 24, fb=12, windows=3)
 
     rays = cfg.render.width * cfg.render.height
     mrays = rays / dt / 1e6

@@ -28,22 +28,25 @@ def psnr(a, b):
 
 
 def variant_cfg(cfg, name):
-    r = cfg.render
-    if name == "base":
-        return cfg
-    if name == "rm0":
-        rr = dataclasses.replace(r, warp_march_rect=0)
-    elif name.startswith("rm"):
-        rr = dataclasses.replace(r, warp_march_rect=int(name[2:]))
-    elif name.startswith("s"):
-        rr = dataclasses.replace(r, steps=int(name[1:]))
-    elif name.startswith("rect"):
-        rr = dataclasses.replace(r, warp_rect=int(name[4:]))
-    elif name == "exact":
-        rr = dataclasses.replace(r, engine="exact")
-    else:
-        raise SystemExit(f"unknown variant {name}")
-    return dataclasses.replace(cfg, render=rr)
+    """Compound variants compose with '+': e.g. rm64+s20+rect112."""
+    for part in name.split("+"):
+        r = cfg.render
+        if part == "base":
+            continue
+        if part == "rm0":
+            rr = dataclasses.replace(r, warp_march_rect=0)
+        elif part.startswith("rm"):
+            rr = dataclasses.replace(r, warp_march_rect=int(part[2:]))
+        elif part.startswith("s"):
+            rr = dataclasses.replace(r, steps=int(part[1:]))
+        elif part.startswith("rect"):
+            rr = dataclasses.replace(r, warp_rect=int(part[4:]))
+        elif part == "exact":
+            rr = dataclasses.replace(r, engine="exact")
+        else:
+            raise SystemExit(f"unknown variant {part}")
+        cfg = dataclasses.replace(cfg, render=rr)
+    return cfg
 
 
 def main():

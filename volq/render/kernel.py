@@ -17,9 +17,14 @@ DEPTH-ORDERED particle list:
   overlapping its whole march;
 * the last grid step runs the fan correction AT MARCH RESOLUTION
   (combined-weight masked static shifts over the P planes in march-cell
-  units; unlit shifts the LINEAR optical depth), hat-upsamples to the
-  rect, applies the single unlit exp (T = 1 - P2), expands RGB, and
-  RMWs the [4, WH, WW] canvas window in place — double-buffered so the
+  units; unlit shifts the LINEAR optical depth), applies the unlit/
+  center exps still at march resolution (the upsampled quantity is the
+  saturated P1/P2), then hat-upsamples DIRECTLY INTO WINDOW COORDINATES
+  — the (dy, dx) sub-tile placement folds into in-kernel-built shifted
+  upsample weights — and RMWs the [4, WH, WW] canvas window in place
+  with scalar-hoisted channel fmas.  The window's rare B half (rect
+  past the A-half columns) is fetched/RMW'd/written synchronously under
+  a prefetched ``wide`` flag; the A half is double-buffered so the
   write-back overlaps the next particle's march unless their windows
   intersect (precomputed hazards).
 
@@ -238,13 +243,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
     if fused:
         WH, WW = comp["WH"], comp["WW"]
-        # The window splits into an ALWAYS-copied 256-column A half and
-        # a CONDITIONAL B half: a particle's rect only reaches columns
-        # >= 256 when dx + RP > 256 (the prefetched ``wide`` flag), so
+        # The window splits into an ALWAYS-copied A half and a
+        # CONDITIONAL B half: a particle's rect only reaches columns
+        # >= WWA when dx + RP > WWA (the prefetched ``wide`` flag), so
         # most particles skip the B half's canvas DMAs, placement
         # matmul, and RMW entirely (Mosaic requires 128-aligned lane
-        # slice shapes, so the split points are 256/128, not dx + RP).
-        WWA = min(WW, 256)
+        # slice shapes, so the split point is a 128-multiple, not
+        # dx + RP).
+        WWA = win_split(RP, WW)
         WWB = WW - WWA
         cdt = canvas.dtype
 
@@ -1062,6 +1068,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         interpret=_interpret(),
     )(vidx, flip, vld_i, *inputs)
     return images, clamp[0, 0]
+
+
+def win_split(RP: int, WW: int) -> int:
+    """The fused window's always-copied A-half width: the smallest
+    128-multiple that covers the rect for a MAJORITY of sub-tile
+    offsets (dx + RP <= WWA for dx up to WWA - RP >= 64, i.e. at least
+    half the dx range); the remaining WW - WWA columns are the rare
+    synchronous B half.  Must match _fused_comp_offsets's wide flag."""
+    return min(WW, -(-(RP + 64) // 128) * 128)
 
 
 def _canvas_dims(cfg: SceneConfig, h_local, fused: bool = False):

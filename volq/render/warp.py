@@ -927,9 +927,10 @@ def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
     ov = ((jnp.abs(oy_al - jnp.roll(oy_al, 1)) < WH)
           & (jnp.abs(ox_al - jnp.roll(ox_al, 1)) < WW)).astype(jnp.int32)
     ov = ov.at[0].set(0)
-    # the rect reaches past the window's always-copied 256-column A half
-    # only when dx + RP > 256 (the kernel's rare synchronous B half)
-    wide = (dx + RP > min(WW, 256)).astype(jnp.int32)
+    # the rect reaches past the window's always-copied A half only when
+    # dx + RP > WWA (the kernel's rare synchronous B half)
+    from volq.render.kernel import win_split
+    wide = (dx + RP > win_split(RP, WW)).astype(jnp.int32)
     return dict(oy=oy_al, ox=ox_al, dy=oy - oy_al, dx=dx, ov=ov,
                 wide=wide, WH=WH, WW=WW, Hc=Hc, Wc=Wc)
 

@@ -242,9 +242,13 @@ def c2() -> SceneConfig:
                               albedo_base=(1.0, 0.9, 0.8), albedo_var=0.35),
         camera=CameraConfig(eye=(0.0, 1.5, -7.5), look_at=(0.0, 0.0, 0.0)),
         render=RenderConfig(width=512, height=512, steps=32, engine="warp",
-                            warp_fp32=False, warp_rect=224, warp_chunk=64,
+                            warp_fp32=False, warp_rect=272, warp_chunk=64,
                             warp_march_rect=80,
-                            warp_pallas=True, warp_shift_max=16,
+                            # K=20 px = 5.83 march cells at rect 272 (the
+                            # measured du max is 5.26 cells; K scales with
+                            # rect/march ratio, so rect 224->272 needed
+                            # 16->20 px — same Km=6 shift taps)
+                            warp_pallas=True, warp_shift_max=20,
                             max_tiles_per_particle=128, max_pairs=4096,
                             max_pairs_per_tile=48, density_scale=9.0),
     )
@@ -292,10 +296,10 @@ def c4() -> SceneConfig:
                             curl_strength=1.2, curl_freq=0.3),
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
-        render=RenderConfig(width=1920, height=1080, steps=24, light_steps=8,
-                            engine="warp", warp_fp32=False, warp_rect=128,
-                            warp_march_rect=80, light_mode="center",
-                            warp_canvas_fp32=False,
+        render=RenderConfig(width=1920, height=1080, steps=20, light_steps=8,
+                            engine="warp", warp_fp32=False, warp_rect=112,
+                            warp_march_rect=64, light_mode="center",
+                            warp_canvas_fp32=False, warp_shift_max=6,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.5,
                             near_fade_end=7.5,
