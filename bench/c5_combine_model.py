@@ -5,11 +5,17 @@ chip: bench/suite.py c5shard) + the binary-swap OVER combine over ICI.
 The mesh itself is not available here (one chip), so this script bounds
 the combine honestly instead of asserting it:
 
-1. TRAFFIC (exact, from the algorithm): per round r of log2(n), each
-   chip ppermutes HALF its current region; regions halve every round,
-   and a final bit-reversal ppermute moves the owned 1/n strip.  Bytes
-   are computed from the real c5 canvas dims (fp32 — the swap requires
-   it, dist/sharded.py).
+1. TRAFFIC (exact): per round r of log2(n), each chip ppermutes HALF
+   its current region; regions halve every round, and a final
+   bit-reversal ppermute moves the owned 1/n strip — exactly ONE
+   canvas per chip per frame in total.  Since round 3 the sharded path
+   crops the rect padding BEFORE the swap (dist/sharded.py), so the
+   canvas on the wire is the bare [4, H, W] fp32 frame (132.7 MB at
+   c5's 4K vs 177.4 padded — a 25% traffic cut).  Under VOLQ_CPU=1
+   this is not computed but MEASURED: the script traces the real
+   _binary_swap on an 8-virtual-device mesh and reads every ppermute
+   operand aval out of the jaxpr, then asserts it against the closed
+   form.
 2. COMPUTE (measured, real chip): the per-chip OVER merges on the
    descending region sizes, timed fetch-synced.
 3. PROJECTION: combine wall time ~ max(traffic / ICI_bw, compute) +
@@ -17,6 +23,11 @@ the combine honestly instead of asserting it:
    compute overlapped.
 
 Prints one JSON object.
+
+VOLQ_CPU=1 forces the CPU backend (sitecustomize pins JAX_PLATFORMS to
+axon before main() runs, so the env var alone is too late); pair it
+with XLA_FLAGS=--xla_force_host_platform_device_count=8 to run the
+jaxpr traffic audit; compute timing is skipped in that mode.
 """
 import json
 import os
@@ -25,21 +36,66 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("VOLQ_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def audited_ppermute_bytes(canvas_shape, itemsize, n_shards):
+    """Trace dist/sharded._binary_swap on a virtual mesh and read the
+    per-chip ppermute operand bytes per round out of the jaxpr."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from volq.dist.mesh import AXIS
+    from volq.dist.sharded import _binary_swap
+
+    devs = jax.devices()
+    assert len(devs) >= n_shards, (
+        f"need {n_shards} devices (VOLQ_CPU=1 "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count={n_shards})")
+    mesh = Mesh(np.asarray(devs[:n_shards]), (AXIS,))
+
+    def body(canvas):
+        idx = jax.lax.axis_index(AXIS)
+        return _binary_swap(canvas, idx, n_shards)
+
+    f = jax.shard_map(body, mesh=mesh, in_specs=P(), out_specs=P(AXIS),
+                      check_vma=False)
+    jaxpr = jax.make_jaxpr(f)(
+        jax.ShapeDtypeStruct(canvas_shape, jnp.float32))
+    rounds = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "ppermute":
+                rounds.append(int(np.prod(eqn.invars[0].aval.shape))
+                              * itemsize)
+            for sub in eqn.params.values():
+                if hasattr(sub, "eqns"):            # raw Jaxpr
+                    walk(sub)
+                elif hasattr(sub, "jaxpr"):         # ClosedJaxpr
+                    walk(sub.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    return rounds
+
 
 def main(n_shards=8):
     import jax
     import jax.numpy as jnp
     from volq.scene.config import PRESETS
-    from volq.render.kernel import _canvas_dims
     from volq.dist.sharded import _over, _cdiv
     from volq.engine.loop import _sync
 
     cfg = PRESETS["c5"]()
     r = cfg.render
-    # the sharded path composites the fused-path canvas (fp32 for the
-    # swap); per-chip canvas = full frame height
-    WH, WW, Hc, Wc = _canvas_dims(cfg, r.height, fused=r.warp_fused)
-    Hp = _cdiv(Hc, n_shards) * n_shards
+    # the sharded path crops to the bare frame BEFORE the swap
+    # (dist/sharded.py), so the wire format is [4, H, W] fp32
+    Hp = _cdiv(r.height, n_shards) * n_shards
+    Wc = r.width
     itemsize = 4               # fp32 canvas (swap requirement)
     canvas_bytes = 4 * Hp * Wc * itemsize
     rounds = n_shards.bit_length() - 1
@@ -56,38 +112,41 @@ def main(n_shards=8):
     bitrev = region            # the owned 1/n strip moves once more
     sent += bitrev
 
+    audited = None
+    if jax.default_backend() == "cpu":
+        measured = audited_ppermute_bytes((4, Hp, Wc), itemsize, n_shards)
+        assert measured == per_round + [bitrev], (measured, per_round)
+        audited = [round(x / 2**20, 1) for x in measured]
+
     # 2. measured per-chip combine compute: OVER on descending regions
-    rows = Hp
-    merges = []
-    for _ in range(rounds):
-        rows //= 2
-        merges.append(rows)
+    compute_ms = None
+    if jax.default_backend() != "cpu":
+        rows, merges = Hp, []
+        for _ in range(rounds):
+            rows //= 2
+            merges.append(rows)
+        key = jax.random.PRNGKey(0)
+        a = jax.random.uniform(key, (4, Hp, Wc), jnp.float32)
+        bbuf = jax.random.uniform(key, (4, Hp, Wc), jnp.float32)
 
-    key = jax.random.PRNGKey(0)
-    a = jax.random.uniform(key, (4, Hp, Wc), jnp.float32)
-    bbuf = jax.random.uniform(key, (4, Hp, Wc), jnp.float32)
+        @jax.jit
+        def combine(a, bbuf):
+            return [_over(a[:, :rws], bbuf[:, :rws]) for rws in merges]
 
-    @jax.jit
-    def combine(a, bbuf):
-        outs = []
-        for rws in merges:
-            outs.append(_over(a[:, :rws], bbuf[:, :rws]))
-        return outs
-
-    outs = combine(a, bbuf)
-    _sync(outs[0])
-    t0 = time.perf_counter()
-    reps = 20
-    for _ in range(reps):
         outs = combine(a, bbuf)
-    _sync(outs[0])
-    compute_ms = (time.perf_counter() - t0) / reps * 1e3
+        _sync(outs[0])
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            outs = combine(a, bbuf)
+        _sync(outs[0])
+        compute_ms = (time.perf_counter() - t0) / reps * 1e3
 
     ici_gbps = 45.0            # v5e per-link ICI, one direction
     traffic_ms = sent / (ici_gbps * 1e9) * 1e3
     # per-round latency: a ppermute dispatch + fence each round
     latency_ms = 0.05 * (rounds + 1)
-    combine_ms = max(traffic_ms, compute_ms) + latency_ms
+    combine_ms = max(traffic_ms, compute_ms or 0.0) + latency_ms
 
     print(json.dumps({
         "n_shards": n_shards,
@@ -97,7 +156,9 @@ def main(n_shards=8):
         "sent_per_chip_canvases": round(sent / canvas_bytes, 3),
         "per_round_MB": [round(x / 2**20, 1) for x in per_round],
         "bitrev_MB": round(bitrev / 2**20, 1),
-        "combine_compute_ms_measured": round(compute_ms, 2),
+        "jaxpr_audited_MB": audited,
+        "combine_compute_ms_measured":
+            round(compute_ms, 2) if compute_ms is not None else None,
         "ici_assumed_GBps": ici_gbps,
         "traffic_ms_at_ici": round(traffic_ms, 2),
         "projected_combine_ms": round(combine_ms, 2),

@@ -34,7 +34,10 @@ def variant_cfg(cfg, name):
         if part == "base":
             continue
         if part == "rm0":
-            rr = dataclasses.replace(r, warp_march_rect=0)
+            rr = dataclasses.replace(r, warp_march_rect=0,
+                                     warp_slab_vx=0)
+        elif part.startswith("vx"):
+            rr = dataclasses.replace(r, warp_slab_vx=int(part[2:]))
         elif part.startswith("rm"):
             rr = dataclasses.replace(r, warp_march_rect=int(part[2:]))
         elif part.startswith("s"):

@@ -62,8 +62,10 @@ def bench_c5_shard_slice(n_frames: int = 10):
     per-shard body of the 8-way binary-swap frame — sharded 4D re-bake
     (bank/8 entries), sim, and march+composite of the shard's 1/8 depth
     slice over the full 4K canvas.  (The swap combine itself needs the
-    mesh; it moves ~1.5x one canvas over ICI.)  The resulting Mrays/s is
-    the per-chip number that predicts v5e-8 mesh throughput."""
+    mesh; it moves exactly ONE cropped canvas per chip over ICI —
+    measured + projected in bench/c5_combine_model.py.)  The resulting
+    Mrays/s is the per-chip SLICE number; the mesh frame adds the
+    projected combine cost on top (BASELINE.md c5 row)."""
     import jax
     import jax.numpy as jnp
     from volq.scene.config import PRESETS

@@ -497,3 +497,46 @@ def test_warp_flythrough_no_popping():
     # as the exact engine's (a popped particle would multiply it)
     assert max_jump_w < 2.5 * max_jump_e + 1e-6, \
         f"warp jump {max_jump_w:.4f} vs exact {max_jump_e:.4f}"
+
+
+def test_warp_slab_vx_matches_oracle(tiny_cfg):
+    """warp_slab_vx: the pre-lerped slab banks are x-resampled to VX
+    sublane points at bake time (align-corners fp32 lerp) and the WxT
+    hat weights live on the VX grid — mirrored exactly by the oracle
+    (same static (k0, fx) constants, same elementwise fp32 math), in
+    fp32 and bf16-quantized modes."""
+    from volq.render.warp import slab_vx_eff
+    cfg = _warpify(tiny_cfg, warp_pallas=True, warp_slab_vx=8)
+    assert slab_vx_eff(cfg, cfg.volume.size) == 8  # actually active
+    state, camera, light = setup(cfg)
+    d, img, _ = _diff(cfg, state, camera, light)
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"slab_vx fp32: max diff {d}"
+
+    cfgq = _warpify(tiny_cfg, warp_pallas=True, warp_slab_vx=8,
+                    warp_fp32=False, warp_canvas_fp32=False)
+    state, camera, light = setup(cfgq)
+    dq, imgq, _ = _diff(cfgq, state, camera, light)
+    assert imgq[..., 3].max() > 0.05
+    assert dq < 4.0 / 256.0, f"slab_vx bf16: max diff {dq}"
+
+
+def test_warp_slab_vx_center_light(tiny_lit_cfg):
+    """warp_slab_vx under center-mode lighting: BOTH banks (density and
+    baked light) are x-resampled with the same constants; per-step lit
+    mode must ignore the knob (slab_vx_eff returns V)."""
+    from volq.render.warp import slab_vx_eff
+    cfg = _warpify(tiny_lit_cfg, warp_pallas=True, warp_slab_vx=8,
+                   light_mode="center")
+    assert slab_vx_eff(cfg, cfg.volume.size) == 8
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    d, img, _ = _diff(cfg, state, camera, light,
+                      light_volumes=np.asarray(lvol))
+    assert img[..., 3].max() > 0.05
+    assert d < TOL, f"slab_vx center-lit: max diff {d}"
+    # per-step lit: the knob must be inert (lane-slice alignment)
+    per_step = _warpify(tiny_lit_cfg, warp_pallas=True, warp_slab_vx=8)
+    assert slab_vx_eff(per_step, per_step.volume.size) \
+        == per_step.volume.size

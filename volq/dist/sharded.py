@@ -187,6 +187,15 @@ def sharded_frame_fn(cfg: SceneConfig, mesh, n_frames_per_call: int = 1):
             canvas, stats = render_warp_canvas(
                 parts_k, volumes, camera, light, cfg,
                 light_volumes=light_volumes)
+            # Crop the rect padding BEFORE the swap: OVER is pixel-wise,
+            # so combining cropped canvases equals cropping the combined
+            # one — and the [4, H, W] region is ~25% smaller than the
+            # padded canvas at c5 (132.7 vs 177.4 MB fp32), cutting both
+            # the per-chip ICI bytes (exactly one canvas/frame rides the
+            # wire, bench/combine_model.py) and the OVER arithmetic.
+            RP = r.warp_rect
+            canvas = jax.lax.dynamic_slice(
+                canvas, (0, RP, RP), (4, r.height, r.width))
             tiles = _binary_swap(canvas, idx, n_shards)
         else:
             tile_start = idx * tiles_local
@@ -227,7 +236,8 @@ def sharded_frame_fn(cfg: SceneConfig, mesh, n_frames_per_call: int = 1):
                 sc, (state, tiles), None, length=n_frames_per_call - 1)
             stats = jax.tree.map(lambda a: a[-1], stats_all)
         if warp:
-            image = _canvas_finish(tiles[:3], tiles[3], cfg, r.height)
+            image = _canvas_finish(tiles[:3], tiles[3], cfg, r.height,
+                                   cropped=True)
         else:
             image = assemble_image(tiles, cfg)
         return state, image, stats

@@ -126,6 +126,26 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     V = vols.shape[-1]
     gsc = f32(V - 1)
     N = pos.shape[0]
+    # x-downsampled slab banks (render/warp.slab_vx_eff): the engine's
+    # bake resamples the slab's x axis to VXe points by align-corners
+    # fp32 lerp AFTER the fp32 z-lerp; the WxT hat weights then live on
+    # the VXe grid (gscx).  Mirrored here with the same static (k0, fx)
+    # constants and the same elementwise fp32 arithmetic.
+    from volq.render.warp import slab_vx_eff, _slab_x_consts
+    VXe = slab_vx_eff(cfg, V)
+    gscx = f32(VXe - 1)
+    if VXe != V:
+        _xc = _slab_x_consts(VXe, V)
+        kx_res = np.asarray([k for k, _ in _xc], np.int64)
+        fx_res = np.asarray([f for _, f in _xc],
+                            np.float32)[:, None]
+
+    def _xres(slab32):
+        """fp32 x-resample of one [V, V] z-lerped slab -> [VXe, V]."""
+        if VXe == V:
+            return slab32
+        a = slab32[kx_res]
+        return a + (slab32[kx_res + 1] - a) * fx_res
 
     eye = np.asarray(camera.eye, np.float32)
     right = np.asarray(camera.right, np.float32)
@@ -253,28 +273,30 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             zw = f32(lo[2]) + zeta * ext                   # fp32 scalar
             if proj == "persp":
                 c1 = f32(zw) - eye[2]
-                gx_u = ((eye[0] + c1 * rx_u) - lo[0]) / ext * gsc
+                gx_u = ((eye[0] + c1 * rx_u) - lo[0]) / ext * gscx
                 gy_w = ((eye[1] + c1 * ry_w) - lo[1]) / ext * gsc
             else:
                 fzp = fwd[2] if abs(float(fwd[2])) >= _EPS else \
                     f32(_EPS if fwd[2] >= 0 else -_EPS)
                 kxp, kyp = f32(fwd[0] / fzp), f32(fwd[1] / fzp)
-                gx_u = ((f32(zw) * kxp + rx_u) - lo[0]) / ext * gsc
+                gx_u = ((f32(zw) * kxp + rx_u) - lo[0]) / ext * gscx
                 gy_w = ((f32(zw) * kyp + ry_w) - lo[1]) / ext * gsc
-            inx = (gx_u >= 0) & (gx_u <= gsc)
+            inx = (gx_u >= 0) & (gx_u <= gscx)
             iny = (gy_w >= 0) & (gy_w <= gsc)
             tpos = (float(zw) - o_z) * s3 > 0
             inb = iny[:, None] & inx[None, :] & tpos
 
-            # fp32 lerp, mirroring the device (then widened to f64)
-            slab = f64(vol[z0] + (vol[z0 + 1] - vol[z0]) * f32(fz_))
-            gxc = np.clip(gx_u, 0, gsc)
+            # fp32 z-lerp + fp32 x-resample, mirroring the device's bake
+            # (then widened to f64)
+            slab = f64(_xres(vol[z0] + (vol[z0 + 1] - vol[z0])
+                             * f32(fz_)))
+            gxc = np.clip(gx_u, 0, gscx)
             gyc = np.clip(gy_w, 0, gsc)
             sig = _bilin_grid(slab, gxc, gyc, quant)        # [RP(w),RP(u)]
             alpha = np.where(inb, 1.0 - np.exp(-sig * scale * dt), 0.0)
             if lvol is not None:
-                lslab = f64(lvol[z0] + (lvol[z0 + 1] - lvol[z0])
-                            * f32(fz_))
+                lslab = f64(_xres(lvol[z0] + (lvol[z0 + 1] - lvol[z0])
+                                  * f32(fz_)))
                 tau = _bilin_grid(lslab, gxc, gyc, quant)
                 atten = np.exp(-scale * float(ext)
                                * np.maximum(tau, 0.0))[None]
@@ -395,9 +417,9 @@ def _bilin_grid(slab, gx_u, gy_w, quant):
     working dtype); pass 2 contracts with the Wx hat weights.  With
     ``quant`` every stored tensor (slab, weights, the pass-1 result) is
     bf16-rounded exactly as on device.  out[w, u]."""
-    V = slab.shape[0]
-    x0 = np.clip(np.floor(gx_u), 0, V - 2).astype(np.int64)
-    y0 = np.clip(np.floor(gy_w), 0, V - 2).astype(np.int64)
+    Vx, Vy = slab.shape            # [x (maybe downsampled), y]
+    x0 = np.clip(np.floor(gx_u), 0, Vx - 2).astype(np.int64)
+    y0 = np.clip(np.floor(gy_w), 0, Vy - 2).astype(np.int64)
     fx = np.clip(gx_u - x0, 0.0, 1.0)
     fy = np.clip(gy_w - y0, 0.0, 1.0)
     if quant:

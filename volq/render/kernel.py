@@ -79,8 +79,7 @@ def stack_bank_resident(slab_banks, lit: bool, center: bool = False) -> bool:
     bank misses the joint 8 MB cut but is density-resident)."""
     if slab_banks is None:
         return False
-    Ms, S, V, _ = slab_banks[0].shape
-    dens_bytes = Ms * S * V * V * slab_banks[0].dtype.itemsize
+    dens_bytes = slab_banks[0].size * slab_banks[0].dtype.itemsize
     if (1 + lit) * dens_bytes <= 8 * 2 ** 20:
         return True
     return (center or not lit) and dens_bytes <= 12 * 2 ** 20
@@ -147,6 +146,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
     gsc = float(V - 1)
+    # x-downsampled slab banks (render/warp.slab_vx_eff): the bank's
+    # sublane extent VX may be < V; the WxT hat weights are then built
+    # on the VX grid (gscx).  The lane (y) and z axes always stay V / S.
+    VX = slab_banks[0].shape[2] if slab_banks is not None else V
+    if lit and not center:
+        assert VX == V, \
+            "per-step lit mode requires full-x slab banks (slab_vx_eff)"
+    gscx = float(VX - 1)
     W_, H_ = float(r.width), float(r.height)
 
     # ---- packed per-particle scalars -----------------------------------
@@ -202,7 +209,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     dens_resident = False
     if use_stack:
         Ms = slab_banks[0].shape[0]
-        dens_bytes = Ms * S * V * V * slab_banks[0].dtype.itemsize
+        dens_bytes = slab_banks[0].size * slab_banks[0].dtype.itemsize
         bank_bytes = (1 + lit) * dens_bytes
         stack_resident = bank_bytes <= 8 * 2 ** 20
         if not stack_resident and (center or not lit):
@@ -423,7 +430,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
           iot_b = jax.lax.broadcasted_iota(
               jnp.int32, (RM, V), 1).astype(jnp.float32)
           iot_a = jax.lax.broadcasted_iota(
-              jnp.int32, (V, RM), 0).astype(jnp.float32)
+              jnp.int32, (VX, RM), 0).astype(jnp.float32)
           y_parts, x_parts = [], []
           for u in range(U):
             sei = s_eff(jnp.int32(s * U + u), flipped)
@@ -436,22 +443,22 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             zw = lo_z + zeta * ext
             if persp:
                 c1 = zw - eye_z
-                gx = ((eye_x + c1 * rx_row) - lo_x) / ext * gsc  # [1, RP]
-                gy = ((eye_y + c1 * ry_col) - lo_y) / ext * gsc  # [RP, 1]
+                gx = ((eye_x + c1 * rx_row) - lo_x) / ext * gscx  # [1, RP]
+                gy = ((eye_y + c1 * ry_col) - lo_y) / ext * gsc   # [RP, 1]
             else:
-                gx = ((zw * kx + rx_row) - lo_x) / ext * gsc
+                gx = ((zw * kx + rx_row) - lo_x) / ext * gscx
                 gy = ((zw * ky + ry_col) - lo_y) / ext * gsc
             # the ray-origin plane is z = eye_z for BOTH projections, so
             # the t>0 test is a scalar folded into the row mask; vld > 0
             # is already guaranteed by the enclosing pl.when
             tpos = (zw - eye_z) * szn > 0
             if lit and not center:
-                inx_f = ((gx >= 0) & (gx <= gsc)).astype(jnp.float32)
+                inx_f = ((gx >= 0) & (gx <= gscx)).astype(jnp.float32)
                 iny_f = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) \
                     * tpos.astype(jnp.float32)
                 msk = iny_f * inx_f                              # [RP, RP]
                 gyc = jnp.clip(gy, 0.0, gsc)                     # [RP, 1]
-                gxc = jnp.clip(gx, 0.0, gsc)                     # [1, RP]
+                gxc = jnp.clip(gx, 0.0, gscx)                    # [1, RP]
             else:
                 # telescoped mode: the binary in-bounds mask folds into
                 # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
@@ -462,8 +469,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # two [RM, V] mask multiplies per step
                 gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
                                 jnp.clip(gy, 0.0, gsc), -2.0)
-                gxc = jnp.where((gx >= 0) & (gx <= gsc),
-                                jnp.clip(gx, 0.0, gsc), -2.0)
+                gxc = jnp.where((gx >= 0) & (gx <= gscx),
+                                jnp.clip(gx, 0.0, gscx), -2.0)
             Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
                 .astype(wdt)                                     # [RP, V(b)]
             WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
@@ -546,9 +553,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     slab = lerped_ref(vol_full)
                 else:
                     slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
-                if _ABLATE == "dot1":      # skip dot1, keep weights+dot2
-                    # (sublane-only broadcast: 2-D broadcasts of a [1,1]
-                    # scalar slice don't lower)
+                if _ABLATE == "dot1" and VX == V:
+                    # skip dot1, keep weights+dot2 (sublane-only
+                    # broadcast: 2-D broadcasts of a [1,1] scalar slice
+                    # don't lower).  With x-downsampled banks (VX < V)
+                    # no cheap [RM, VX] stand-in exists — the real dot1
+                    # stays and this ablation measures nothing.
                     t1_ = Wy * (1.0 + slab[:1, :])
                 else:
                     t1_ = jax.lax.dot_general(
@@ -935,12 +945,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         # invalid rows map to block 0 (same DMA-dedup trick as vol_spec)
         def imap(n, s, v, f, vl, *pf):
             return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
-        return pl.BlockSpec((1, S, V, V), imap, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, S, VX, V), imap, memory_space=pltpu.VMEM)
 
     def stack_res_spec():
-        # constant block index: the whole [M*S, V, V] bank is fetched
+        # constant block index: the whole [M*S, VX, V] bank is fetched
         # exactly once and stays VMEM-resident across the grid
-        return pl.BlockSpec((Ms * S, V, V),
+        return pl.BlockSpec((Ms * S, VX, V),
                             lambda n, s, *pf: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -957,7 +967,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
                               memory_space=pltpu.SMEM)
     def stack_input(bank):
-        return (bank.reshape(Ms * S, V, V)
+        return (bank.reshape(Ms * S, VX, V)
                 if (stack_resident or dens_resident) else bank)
 
     in_specs = list(vol_specs)
@@ -970,7 +980,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             def stack_mid_spec():
                 def imap(n, s, v, f, vl, *pf):
                     return (jnp.where(vl[n] == 0, 0, v[n]), MID, 0, 0)
-                return pl.BlockSpec((1, 1, V, V), imap,
+                return pl.BlockSpec((1, 1, VX, V), imap,
                                     memory_space=pltpu.VMEM)
             in_specs += [stack_mid_spec()]
             inputs += [slab_banks[1]]

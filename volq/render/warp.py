@@ -159,13 +159,55 @@ def _march_z_consts(S: int, V: int):
     return out
 
 
-def bake_march_slabs(volumes, S: int, dtype):
+def _slab_x_consts(VX: int, V: int):
+    """The (k0, fx) x-resample constants mapping the downsampled grid
+    point i to its align-corners position i*(V-1)/(VX-1) on the original
+    grid — STATIC, same fp32 arithmetic as _march_z_consts so the oracle
+    mirror is bit-identical."""
+    import numpy as np
+    out = []
+    for i in range(VX):
+        p = np.float32(i) * np.float32(V - 1) / np.float32(VX - 1)
+        k0 = np.clip(np.float32(np.floor(p)), np.float32(0.0),
+                     np.float32(V - 2))
+        f = np.clip(p - k0, np.float32(0.0), np.float32(1.0))
+        out.append((int(k0), float(f)))
+    return out
+
+
+def slab_vx_eff(cfg: SceneConfig, V: int) -> int:
+    """Effective x-extent of the baked slab banks: render.warp_slab_vx
+    when the config uses slab banks AND the march is telescoped (unlit
+    or light_mode="center" — the per-step lit contraction slices the
+    merged dot1 at V-lane offsets, which Mosaic requires 128-aligned),
+    else V.  The x (sublane) axis is the ONLY resampleable one: the
+    slab's lane axis (y) must stay a 128-multiple and z is already the
+    S-step slab selection."""
+    r = cfg.render
+    vx = r.warp_slab_vx
+    if vx <= 0 or vx >= V or not use_slab_banks(cfg, V):
+        return V
+    lit = r.light_steps > 0
+    if lit and r.light_mode != "center":
+        return V
+    return vx
+
+
+def bake_march_slabs(volumes, S: int, dtype, vx: int = 0):
     """Pre-lerp the z slabs every marching step reads: [M, V, V, V] ->
     [M, S, V, V] with slab[m, s] = (1-fz_s) vol[m, z0_s] + fz_s
     vol[m, z0_s+1] (fp32 lerp, cast to the working dtype — the kernel's
     exact math).  ``volumes`` must already be in ENGINE (march-permuted)
     coordinates.  Cuts the march kernel's HBM traffic from V^3 to S*V^2
-    per particle and deletes the per-step z-lerp."""
+    per particle and deletes the per-step z-lerp.
+
+    ``vx`` (see slab_vx_eff): additionally resample the slab's x
+    (sublane) axis to vx points by align-corners fp32 lerp -> [M, S, vx,
+    V].  The kernel then builds its WxT hat weights on the vx grid
+    (gscx = vx-1), cutting slab DMA, dot FLOPs and WxT VPU build by
+    vx/V.  Pure-lerp subsampling (no prefilter) keeps the math an exact
+    elementwise mirror of the oracle; the PSNR gate (bench/psnr_c3.py)
+    decides per preset whether the mild x-lowpass is visually free."""
     V = volumes.shape[-1]
     consts = _march_z_consts(S, V)
     a = jnp.stack([volumes[:, z0] for z0, _ in consts],
@@ -174,7 +216,16 @@ def bake_march_slabs(volumes, S: int, dtype):
                   axis=1).astype(jnp.float32)
     fz = jnp.asarray([f for _, f in consts],
                      jnp.float32)[None, :, None, None]
-    return (a + (b - a) * fz).astype(dtype)
+    bank = a + (b - a) * fz
+    if vx and vx != V:
+        xc = _slab_x_consts(vx, V)
+        k0 = jnp.asarray([k for k, _ in xc], jnp.int32)
+        fx = jnp.asarray([f for _, f in xc],
+                         jnp.float32)[None, None, :, None]
+        ka = jnp.take(bank, k0, axis=2)
+        kb = jnp.take(bank, k0 + 1, axis=2)
+        bank = ka + (kb - ka) * fx
+    return bank.astype(dtype)
 
 
 def use_slab_banks(cfg: SceneConfig, V: int) -> bool:
@@ -207,8 +258,9 @@ def bake_slab_banks(volumes, light_volumes, cfg: SceneConfig):
             light_volumes = light_volumes.transpose(ap)
     wdt = jnp.float32 if cfg.render.warp_fp32 else jnp.bfloat16
     S = cfg.render.steps
-    dens = bake_march_slabs(volumes, S, wdt)
-    lite = (bake_march_slabs(light_volumes, S, wdt)
+    vx = slab_vx_eff(cfg, V)
+    dens = bake_march_slabs(volumes, S, wdt, vx)
+    lite = (bake_march_slabs(light_volumes, S, wdt, vx)
             if light_volumes is not None and cfg.render.light_steps > 0
             else None)
     return (dens, lite)
@@ -979,11 +1031,13 @@ def _composite_chunk(canvas, images, geom, cfg: SceneConfig, y_start,
     return jax.lax.fori_loop(0, n, body, (C0, T0))
 
 
-def _canvas_finish(C, T, cfg: SceneConfig, h_local):
+def _canvas_finish(C, T, cfg: SceneConfig, h_local, cropped=False):
     """Crop the padded canvas and compose over the background.
-    Works for both canvas layouts (origin is at (RP, RP) in each)."""
+    Works for both canvas layouts (origin is at (RP, RP) in each).
+    ``cropped``: the input is already the [h_local, width] crop (the
+    sharded path crops before the binary swap to cut ICI bytes)."""
     r = cfg.render
-    RP = r.warp_rect
+    RP = 0 if cropped else r.warp_rect
     C = C[:, RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
     T = T[RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
     bg = jnp.asarray(r.background, jnp.float32)[:, None, None]
@@ -1022,8 +1076,9 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
             and use_slab_banks(cfg, volumes.shape[-1])):
         wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
         lit_ = light_volumes is not None and r.light_steps > 0
-        slab_banks = (bake_march_slabs(volumes, r.steps, wdt),
-                      bake_march_slabs(light_volumes, r.steps, wdt)
+        vx_ = slab_vx_eff(cfg, volumes.shape[-1])
+        slab_banks = (bake_march_slabs(volumes, r.steps, wdt, vx_),
+                      bake_march_slabs(light_volumes, r.steps, wdt, vx_)
                       if lit_ else None)
 
     # (A two-size-class rect path existed through round 2; it measured

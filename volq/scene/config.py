@@ -121,6 +121,15 @@ class RenderConfig:
                                # to stop paying screen-res march cost for
                                # volume-res detail.  Multiple of 16;
                                # single-rect-class only.
+    warp_slab_vx: int = 0      # warp engine + pallas: x-resample the
+                               # pre-lerped slab banks to this many
+                               # sublane points (align-corners fp32
+                               # lerp, render/warp.bake_march_slabs).
+                               # Cuts slab DMA + march dot FLOPs + WxT
+                               # build by vx/V.  0 / >= V disables; only
+                               # applies when slab banks are in use and
+                               # the march telescopes (unlit or
+                               # light_mode="center").  Multiple of 8.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
@@ -181,6 +190,8 @@ class SceneConfig:
                              "(expected 'march' or 'center')")
         if r.warp_march_rect and r.warp_march_rect % 16:
             raise ValueError("warp_march_rect must be a multiple of 16")
+        if r.warp_slab_vx and (r.warp_slab_vx % 8 or r.warp_slab_vx < 8):
+            raise ValueError("warp_slab_vx must be a multiple of 8, >= 8")
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +285,11 @@ def c3() -> SceneConfig:
                             engine="warp", warp_fp32=False, warp_rect=144,
                             warp_march_rect=80, warp_canvas_fp32=False,
                             warp_chunk=64, warp_pallas=True,
+                            # slab banks x-resampled 128 -> 64 (48.9 dB
+                            # vs the full-res march on device; halves
+                            # the 671 MB/frame slab stream and the dot1
+                            # MXU+WxT VPU work — bench/psnr_c3.py)
+                            warp_slab_vx=64,
                             warp_shift_max=6,
                             tile_h=8, tile_w=32, near_fade_start=8.5,
                             near_fade_end=6.0,
