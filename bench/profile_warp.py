@@ -83,11 +83,12 @@ def main(preset="c3", reps=10):
 
     sbP = None
     if sb is not None:
-        from volq.render.warp import bake_march_slabs
+        from volq.render.warp import bake_march_slabs, slab_vx_eff
         wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+        vx = slab_vx_eff(cfg, cfg.volume.size)
         sbP = jax.jit(lambda v, l: (
-            bake_march_slabs(v, r.steps, wdt),
-            bake_march_slabs(l, r.steps, wdt) if l is not None else None
+            bake_march_slabs(v, r.steps, wdt, vx),
+            bake_march_slabs(l, r.steps, wdt, vx) if l is not None else None
         ))(vP, lvP)
 
     # NOTE: lvP/sbP are passed as ARGUMENTS, not closures — closed-over

@@ -46,6 +46,8 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_rect=int(part[4:]))
         elif part == "exact":
             rr = dataclasses.replace(r, engine="exact")
+        elif part == "perstep":
+            rr = dataclasses.replace(r, light_mode="march")
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)

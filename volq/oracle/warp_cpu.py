@@ -339,11 +339,16 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
                                 px_c[pi], py_c[pi], RP_pi, row_fan,
                                 RM=RM_pi)
         ii = np.arange(RM_pi, dtype=np.float32)
+        # center mode: the smooth attenuation plane (tau') skips the
+        # fan, mirroring the device kernel's bypass
+        nf = 1 if centr else planes.shape[0]
         du = _edge_clamped_shift_np(du, Kc, RM_pi, ii[None, :])
-        planes = _interp_cols(planes, ii[None, :] + du)
+        planes = np.concatenate(
+            [_interp_cols(planes[:nf], ii[None, :] + du), planes[nf:]])
         if row_fan:
             dw = _edge_clamped_shift_np(dw, Kc, RM_pi, ii[:, None])
-            planes = _interp_rows(planes, ii[:, None] + dw)
+            planes = np.concatenate(
+                [_interp_rows(planes[:nf], ii[:, None] + dw), planes[nf:]])
 
         # ---- unlit/center exps AT MARCH RESOLUTION (the upsampled
         # quantity is the saturated P1/P2, not the linear optical

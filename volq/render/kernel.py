@@ -716,7 +716,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 return outs
 
             if _ABLATE != "fan":
-                img4 = shift_interp(img4, du, axis=1)
+                # center mode: the attenuation plane (img4[1]) SKIPS the
+                # fan — atten is a smooth field and the ±K px correction
+                # is visually nil on it (PSNR-gated vs per-step light;
+                # oracle mirrors the bypass), halving the fan VPU cost
+                # of the lit presets
+                if center:
+                    img4 = shift_interp(img4[:1], du, axis=1) \
+                        + list(img4[1:])
+                else:
+                    img4 = shift_interp(img4, du, axis=1)
             if row_fan:
                 if persp:
                     oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
@@ -740,7 +749,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
                 n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
                 if _ABLATE != "fan":
-                    img4 = shift_interp(img4, dw, axis=0)
+                    if center:
+                        img4 = shift_interp(img4[:1], dw, axis=0) \
+                            + list(img4[1:])
+                    else:
+                        img4 = shift_interp(img4, dw, axis=0)
 
             # The unlit/center exps run AT MARCH RESOLUTION, before the
             # upsample: the upsampled quantity is the saturated opacity

@@ -899,14 +899,26 @@ def _warp_images(images, particles, camera: Camera, light: Light,
                                          iif[None, None, :])
         clamp_total = jnp.sum((valid[:, None, None] & clampx)
                               .astype(jnp.int32))
-        out = _shift_interp(img, du, Km, axis=3)
+
+        def fan(im, delta, axis):
+            # center mode: the smooth attenuation plane (plane 1, tau')
+            # SKIPS the fan — the ±K px correction is visually nil on
+            # it (PSNR-gated vs per-step light; kernel + oracle mirror
+            # the bypass), halving the fan cost of the lit presets
+            if center:
+                return jnp.concatenate(
+                    [_shift_interp(im[:, :1], delta, Km, axis=axis),
+                     im[:, 1:]], axis=1)
+            return _shift_interp(im, delta, Km, axis=axis)
+
+        out = fan(img, du, axis=3)
 
         if dw_raw is not None:
             dw, clampy = _edge_clamped_shift(dw_raw, Kc, RM,
                                              iif[None, :, None])
             clamp_total = clamp_total + jnp.sum(
                 (valid[:, None, None] & clampy).astype(jnp.int32))
-            out = _shift_interp(out, dw, Km, axis=2)
+            out = fan(out, dw, axis=2)
 
         # The unlit/center exps run AT MARCH RESOLUTION, before the
         # upsample (the upsampled quantity is the saturated P1/P2, the
