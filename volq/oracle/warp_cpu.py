@@ -271,16 +271,20 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             z0 = int(np.clip(np.floor(gz), 0, V - 2))
             fz_ = float(np.clip(gz - z0, 0.0, 1.0))
             zw = f32(lo[2]) + zeta * ext                   # fp32 scalar
+            # hoisted association (mirrors the device march):
+            # gx = (c0 - lo)*k2 + (c1*k2)*rx, k2 = gsc/ext
+            kx2o = gscx / ext
+            ky2o = gsc / ext
             if proj == "persp":
                 c1 = f32(zw) - eye[2]
-                gx_u = ((eye[0] + c1 * rx_u) - lo[0]) / ext * gscx
-                gy_w = ((eye[1] + c1 * ry_w) - lo[1]) / ext * gsc
+                gx_u = (eye[0] - lo[0]) * kx2o + (c1 * kx2o) * rx_u
+                gy_w = (eye[1] - lo[1]) * ky2o + (c1 * ky2o) * ry_w
             else:
                 fzp = fwd[2] if abs(float(fwd[2])) >= _EPS else \
                     f32(_EPS if fwd[2] >= 0 else -_EPS)
                 kxp, kyp = f32(fwd[0] / fzp), f32(fwd[1] / fzp)
-                gx_u = ((f32(zw) * kxp + rx_u) - lo[0]) / ext * gscx
-                gy_w = ((f32(zw) * kyp + ry_w) - lo[1]) / ext * gsc
+                gx_u = (f32(zw) * kxp - lo[0]) * kx2o + kx2o * rx_u
+                gy_w = (f32(zw) * kyp - lo[1]) * ky2o + ky2o * ry_w
             inx = (gx_u >= 0) & (gx_u <= gscx)
             iny = (gy_w >= 0) & (gy_w <= gsc)
             tpos = (float(zw) - o_z) * s3 > 0

@@ -424,13 +424,27 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         # rows that are invalid (dead/culled, or the other size class in
         # two-class rendering) skip the whole marching body: acc stays at
         # the OVER identity set by _init
-        @pl.when(vld > 0)
+        # (_ABLATE == "march": statically skip the WHOLE march body —
+        # weights, coords, dots, slab reads — leaving epilogue + DMAs)
+        @pl.when((vld > 0) if _ABLATE != "march" else (vld > 127))
         def _march_steps():
           # loop-invariant hat-weight iotas, built once per grid step
           iot_b = jax.lax.broadcasted_iota(
               jnp.int32, (RM, V), 1).astype(jnp.float32)
           iot_a = jax.lax.broadcasted_iota(
               jnp.int32, (VX, RM), 0).astype(jnp.float32)
+          # hoisted grid-coord factors: gx = bx + (c1*kx2)*rx (persp)
+          # or ax_s + rxk (ortho) — ONE wide fma/add per axis per step
+          # instead of the 5-op chain (incl. a per-step DIVIDE); the
+          # oracle and the XLA march mirror the same association
+          kx2 = gscx / ext
+          ky2 = gsc / ext
+          if persp:
+              bx_h = (eye_x - lo_x) * kx2
+              by_h = (eye_y - lo_y) * ky2
+          else:
+              rxk = kx2 * rx_row
+              ryk = ky2 * ry_col
           y_parts, x_parts = [], []
           for u in range(U):
             sei = s_eff(jnp.int32(s * U + u), flipped)
@@ -441,13 +455,19 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
                 fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
             zw = lo_z + zeta * ext
-            if persp:
+            if _ABLATE == "gxy":
+                # constant-ish grid coords (keep the step + ray-vector
+                # dependency with ONE fma per axis): measures the
+                # per-step coord chains (fma/div/scale per axis)
+                gx = rx_row + se
+                gy = ry_col + se
+            elif persp:
                 c1 = zw - eye_z
-                gx = ((eye_x + c1 * rx_row) - lo_x) / ext * gscx  # [1, RP]
-                gy = ((eye_y + c1 * ry_col) - lo_y) / ext * gsc   # [RP, 1]
+                gx = bx_h + (c1 * kx2) * rx_row                   # [1, RP]
+                gy = by_h + (c1 * ky2) * ry_col                   # [RP, 1]
             else:
-                gx = ((zw * kx + rx_row) - lo_x) / ext * gscx
-                gy = ((zw * ky + ry_col) - lo_y) / ext * gsc
+                gx = (zw * kx - lo_x) * kx2 + rxk
+                gy = (zw * ky - lo_y) * ky2 + ryk
             # the ray-origin plane is z = eye_z for BOTH projections, so
             # the t>0 test is a scalar folded into the row mask; vld > 0
             # is already guaranteed by the enclosing pl.when
@@ -467,10 +487,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # row/col gets hat position -2, whose hat weight is
                 # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
                 # two [RM, V] mask multiplies per step
+                # (no clip inside the select: the mask already implies
+                # gy in [0, gsc], so clip is the identity — bit-exact)
                 gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
-                                jnp.clip(gy, 0.0, gsc), -2.0)
+                                gy, -2.0)
                 gxc = jnp.where((gx >= 0) & (gx <= gscx),
-                                jnp.clip(gx, 0.0, gscx), -2.0)
+                                gx, -2.0)
             Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
                 .astype(wdt)                                     # [RP, V(b)]
             WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \

@@ -601,10 +601,13 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             fz_ = jnp.clip(gz - z0.astype(jnp.float32), 0.0, 1.0)
             zw = lo_z + zeta * ext                        # [c]
             c0x, c1x, c0y, c1y = coeffs(zw)
-            gx_u = ((c0x[:, None] + c1x[:, None] * rx_u) - lo_x[:, None]) \
-                / ext[:, None] * gsc                      # [c,RP]
-            gy_w = ((c0y[:, None] + c1y[:, None] * ry_w) - lo_y[:, None]) \
-                / ext[:, None] * gsc
+            # hoisted association (mirrors kernel.py and the oracle):
+            # gx = (c0x - lo_x)*k2 + (c1x*k2)*rx, k2 = gsc/ext
+            k2 = gsc / ext
+            gx_u = ((c0x - lo_x) * k2)[:, None] \
+                + (c1x * k2)[:, None] * rx_u              # [c,RP]
+            gy_w = ((c0y - lo_y) * k2)[:, None] \
+                + (c1y * k2)[:, None] * ry_w
             inx = (gx_u >= 0) & (gx_u <= gsc)
             iny = (gy_w >= 0) & (gy_w <= gsc)
             tpos = (zw[:, None, None] - o_z) * szn3 > 0
