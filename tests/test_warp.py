@@ -540,3 +540,37 @@ def test_warp_slab_vx_center_light(tiny_lit_cfg):
     per_step = _warpify(tiny_lit_cfg, warp_pallas=True, warp_slab_vx=8)
     assert slab_vx_eff(per_step, per_step.volume.size) \
         == per_step.volume.size
+
+
+def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
+    """warp_pair marches two particles per grid step, packing their dot
+    operands into full-width MXU tiles.  The packing only ever adds
+    EXACT zeros to the contractions, so on the real MXU (sequential
+    K-order accumulation; K is zero-padded to the tile either way) the
+    canvas is bit-identical to the unpaired kernel — bench/device_diff
+    asserts that on device.  Interpret mode's XLA CPU dot regroups the
+    nonzero terms across its blocked SIMD accumulators when K widens,
+    so on CPU the bound is a few ulps of the working dtype instead:
+    unlit fp32 and center-lit bf16 (the production mode)."""
+    cases = [
+        (_warpify(tiny_cfg, warp_pallas=True), 2e-5),
+        (dataclasses.replace(
+            _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                     warp_canvas_fp32=False),
+            camera=CameraConfig(eye=(0.2, 0.4, -5.0), look_at=(0, 0, 0))),
+         4e-3),
+    ]
+    for cfg, tol in cases:
+        if cfg.render.light_steps:
+            cfg = dataclasses.replace(cfg, render=dataclasses.replace(
+                cfg.render, light_mode="center"))
+        cfg_pair = dataclasses.replace(
+            cfg, render=dataclasses.replace(cfg.render, warp_pair=1))
+        state, camera, light = setup(cfg)
+        a, _ = render_only(state, camera, light, cfg)
+        bimg, _ = render_only(state, camera, light, cfg_pair)
+        a = np.asarray(a, np.float64)
+        bimg = np.asarray(bimg, np.float64)
+        assert a[..., 3].max() > 0.05        # non-trivial image
+        d = np.abs(a - bimg).max()
+        assert d < tol, f"paired vs unpaired: max diff {d}"

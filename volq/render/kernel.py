@@ -229,10 +229,31 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # (the cap is then code size + the Mosaic temporaries stack; S <= 32
     # unrolls fully in bf16, but fp32 temporaries are 2x and blow the
     # 16M scoped-vmem stack at RP=224 — cap fp32 at 8).
+    # ---- particle pairing (warp_pair): march TWO depth-consecutive
+    # particles per grid step.  The per-step dot1 packs both into one
+    # [2RM, 2V]-weight matmul (block-structured: q's hat positions are
+    # offset by +V onto lanes V..2V-1, so the off-diagonal blocks are
+    # EXACT zeros and each particle's t1 rows accumulate the same fp32
+    # values as unpaired — adding exact zeros never rounds), and the
+    # merged dot2 becomes [2RM, U*VX] x [U*VX, 2RM] with the two WxT
+    # halves lane-concatenated.  Full-width MXU tiles (the RM = V = 64
+    # configs ran far under peak on half-empty 128-tiles) AND half the
+    # fixed per-grid-step cost.  Bit-identical to unpaired; telescoped
+    # (unlit/center) slab-bank fused configs with even N only.
+    PAIR = (bool(r.warp_pair) and fused and use_stack
+            and (center or not lit) and N % 2 == 0 and RM <= 96)
+    PW = 2 if PAIR else 1
+    N2 = N // PW
+    MR = PW * RM
+
     if use_stack and S <= 32:
         u_cap = S if (not r.warp_fp32 or RP <= 160) else 8
     else:
         u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
+    if PAIR:
+        # paired temporaries are 2x per step (t1 [2RM, VX]); halve the
+        # full-unroll ceiling headroom conservatively
+        u_cap = min(u_cap, max(S // 2, 1)) if S > 24 else u_cap
     U = next(u for u in (S, 16, 12, 8, 6, 4, 3, 2, 1)
              if S % u == 0 and u <= u_cap)
     SG = S // U
@@ -266,11 +287,24 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             oy_ref, ox_ref, dy_ref, dx_ref, ov_ref, wide_ref = rest[:6]
             rest = rest[6:]
         if use_stack:
-            vol_stack = rest[0]
-            rest = rest[1:]
-            if lit:
-                lvol_stack = rest[0]
+            if stack_resident or dens_resident:
+                vol_stack = rest[0]
                 rest = rest[1:]
+                vol_stacks = [vol_stack] * PW
+            else:
+                # streamed per-particle stacks: PW block inputs
+                vol_stacks = list(rest[:PW])
+                vol_stack = vol_stacks[0]
+                rest = rest[PW:]
+            if lit:
+                if center and not stack_resident:
+                    # streamed mid-slab(s): PW block inputs
+                    lvol_mids = list(rest[:PW])
+                    lvol_stack = lvol_mids[0]
+                    rest = rest[PW:]
+                else:
+                    lvol_stack = rest[0]
+                    rest = rest[1:]
         elif full_vol:
             vol_full = rest[0]
             rest = rest[1:]
@@ -300,51 +334,82 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         s = pl.program_id(1)
 
         if fused:
-            b = jax.lax.rem(n, 2)
-            y = pl.multiple_of(oy_ref[n], 8)
-            x = pl.multiple_of(ox_ref[n], 128)
+            # particle index k and window-buffer parity b: unpaired,
+            # k = n and b alternates with n; paired, the pair members
+            # (k = 2n, 2n+1) always use buffers (0, 1) — the SAME
+            # per-particle reuse/overlap semaphore protocol holds in
+            # both cases (b == k mod 2 either way)
+            b = jnp.int32(0) if PAIR else jax.lax.rem(n, 2)
 
-            def coutA_desc(bb):
+            def win_yx(k):
+                return (pl.multiple_of(oy_ref[k], 8),
+                        pl.multiple_of(ox_ref[k], 128))
+
+            def coutA_desc(k, bb):
+                y_, x_ = win_yx(k)
                 return pltpu.make_async_copy(
                     win.at[bb, :, :, pl.ds(0, WWA)],
-                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WWA)],
+                    canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, WWA)],
                     sem_out.at[bb])
 
-            def cinA_desc():
+            def cinA_desc(k, bb):
+                y_, x_ = win_yx(k)
                 return pltpu.make_async_copy(
-                    canvas_out.at[:, pl.ds(y, WH), pl.ds(x, WWA)],
-                    win.at[b, :, :, pl.ds(0, WWA)], sem_in.at[b])
+                    canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, WWA)],
+                    win.at[bb, :, :, pl.ds(0, WWA)], sem_in.at[bb])
+
+            def fetch_seq(k, bb):
+                """The per-particle window-fetch protocol (identical to
+                the sequential round-2 scheme): wait the write-back that
+                last used this buffer (k-2; skipped if k-1's overlap
+                guard already consumed it), wait the previous particle's
+                write-back when the windows intersect, then start the
+                fetch.  In paired mode the protocol is unchanged — only
+                q's ISSUE POINT moves to the epilogue when it overlaps
+                its own pair partner (ov[k]==1), which also makes its
+                overlap wait see p's just-started write-back."""
+                @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
+                def _wait_reuse():
+                    coutA_desc(k, bb).wait()
+
+                @pl.when(ov_ref[k] == 1)
+                def _wait_overlap():
+                    coutA_desc(k, 1 - bb).wait()
+
+                cinA_desc(k, bb).start()
 
             if WWB:
                 # B-half copies are SYNCHRONOUS inside the wide-only
                 # epilogue block (started and waited there), so no
                 # cross-particle semaphore pairing exists for them —
                 # wide particles are the rare case and pay ~0.5 us each
-                xb = pl.multiple_of(x + WWA, 128)
-
-                def coutB_desc():
+                def coutB_desc(k, bb):
+                    y_, x_ = win_yx(k)
+                    xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        win.at[b, :, :, pl.ds(WWA, WWB)],
-                        canvas_out.at[:, pl.ds(y, WH), pl.ds(xb, WWB)],
+                        win.at[bb, :, :, pl.ds(WWA, WWB)],
+                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(xb_, WWB)],
                         semB_out)
 
-                def cinB_desc():
+                def cinB_desc(k, bb):
+                    y_, x_ = win_yx(k)
+                    xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        canvas_out.at[:, pl.ds(y, WH), pl.ds(xb, WWB)],
-                        win.at[b, :, :, pl.ds(WWA, WWB)], semB_in)
+                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(xb_, WWB)],
+                        win.at[bb, :, :, pl.ds(WWA, WWB)], semB_in)
 
-        lo_x = gf[0, 0, _G_LOX]
-        lo_y = gf[0, 0, _G_LOY]
-        lo_z = gf[0, 0, _G_LOZ]
-        ext = gf[0, 0, _G_EXT]
-        scale = gf[0, 0, _G_SCALE]
-        szn = gf[0, 0, _G_SZN]
-        vld = gf[0, 0, _G_VALID]
+        def pread(i_):
+            """Per-particle scalars + ray vectors (pair member i_; the
+            unpaired path binds pread(0) at top level)."""
+            return (gf[i_, 0, _G_LOX], gf[i_, 0, _G_LOY],
+                    gf[i_, 0, _G_LOZ], gf[i_, 0, _G_EXT],
+                    gf[i_, 0, _G_SCALE], gf[i_, 0, _G_SZN],
+                    gf[i_, 0, _G_VALID], rxu[i_], ryw[i_])
+
+        (lo_x, lo_y, lo_z, ext, scale, szn, vld,
+         rx_row, ry_col) = pread(0)                 # [1, RP] / [RP, 1]
         eye_x, eye_y, eye_z = camf_r[0, 0], camf_r[0, 1], camf_r[0, 2]
         fwd_x, fwd_y, fwd_z = camf_r[0, 9], camf_r[0, 10], camf_r[0, 11]
-
-        rx_row = rxu[0]                             # [1, RP]
-        ry_col = ryw[0]                                  # [RP, 1]
 
         if not persp:
             fz_s = jnp.where(jnp.abs(fwd_z) < _EPS,
@@ -352,20 +417,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             kx = fwd_x / fz_s
             ky = fwd_y / fz_s
 
-        flipped = flip_ref[n]
+        # paired telescoped marches are always ascending (flip would
+        # only matter for the per-step lit path, which pairing excludes)
+        flipped = jnp.int32(0) if PAIR else flip_ref[n]
         if use_stack and (stack_resident or dens_resident):
-            vid = vidx_ref[n]
+            vids = [vidx_ref[n * PW + i_] for i_ in range(PW)]
+            vid = vids[0]
 
-        @pl.when(s == 0)
-        def _init():
-            # factored accumulators: the per-step color is col_ch =
-            # alb_ch * (lcol_ch * atten + amb_ch), LINEAR in (atten, 1) —
-            # so only scalar-weight planes accumulate (P1 = sum fa*atten,
-            # P2 = sum fa, T) and the RGB expansion happens once in the
-            # epilogue (after the fan warp: fewer planes to shift).
-            acc[:] = jnp.zeros((NP, RM, RM), jnp.float32)
-            if lit and not center:
-                acc[NP - 1] = jnp.ones((RM, RM), jnp.float32)
+        def _init_one(i_):
+            (lo_x, lo_y, lo_z, ext, scale, szn, vld,
+             rx_row, ry_col) = pread(i_)
             z2 = jnp.zeros((RM, RM), jnp.float32)
             if persp:
                 rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
@@ -398,36 +459,168 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
             t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
             seg = jnp.maximum(t1 - t0, 0.0)
-            geo[0] = scale * jnp.minimum(dt_raw, seg)   # scale * dt
+            geo[i_] = scale * jnp.minimum(dt_raw, seg)   # scale * dt
+
+        @pl.when(s == 0)
+        def _init():
+            # factored accumulators: the per-step color is col_ch =
+            # alb_ch * (lcol_ch * atten + amb_ch), LINEAR in (atten, 1) —
+            # so only scalar-weight planes accumulate (P1 = sum fa*atten,
+            # P2 = sum fa, T) and the RGB expansion happens once in the
+            # epilogue (after the fan warp: fewer planes to shift).
+            acc[:] = jnp.zeros((NP, MR, MR), jnp.float32)
+            if lit and not center:
+                acc[NP - 1] = jnp.ones((MR, MR), jnp.float32)
+            for i_ in range(PW):
+                _init_one(i_)
 
         if fused:
             # canvas window fetch, issued at the particle's FIRST grid
-            # step so it overlaps the whole march.  Hazards as in
-            # composite_chunk_pallas: wait the write-back that used this
-            # win buffer (n-2, skip if n-1's overlap guard already did)
-            # and, when the windows intersect, the previous particle's
-            # write-back.
+            # step so it overlaps the whole march (fetch_seq: the
+            # sequential reuse/overlap protocol).  Paired: q's fetch is
+            # prefetched here ONLY when it does not overlap its own pair
+            # partner p (ov[k1]==0); otherwise it is deferred to the
+            # epilogue, after p's write-back starts (fetching it here
+            # would deadlock: the overlap wait would target a write-back
+            # this same grid step hasn't issued yet).
             @pl.when(s == 0)
             def _fused_fetch():
-                @pl.when((n >= 2)
-                         & (ov_ref[jnp.maximum(n - 1, 0)] == 0))
-                def _wait_reuse():
-                    coutA_desc(b).wait()
-
-                @pl.when(ov_ref[n] == 1)
-                def _wait_overlap():
-                    coutA_desc(1 - b).wait()
-
-                cinA_desc().start()
+                fetch_seq(n * PW, b)
+                if PAIR:
+                    @pl.when(ov_ref[n * PW + 1] == 0)
+                    def _prefetch_q():
+                        fetch_seq(n * PW + 1, jnp.int32(1))
 
         # ---- marching steps (U unrolled per grid step) -------------------
         # rows that are invalid (dead/culled, or the other size class in
         # two-class rendering) skip the whole marching body: acc stays at
-        # the OVER identity set by _init
+        # the OVER identity set by _init.  Paired: run if EITHER member
+        # is valid (the invalid one's weights are masked to zero).
         # (_ABLATE == "march": statically skip the WHOLE march body —
         # weights, coords, dots, slab reads — leaving epilogue + DMAs)
-        @pl.when((vld > 0) if _ABLATE != "march" else (vld > 127))
+        vld_any = vld if PW == 1 else (vld + pread(1)[6])
+
+        def _march_pair():
+            # Paired telescoped march (see the PAIR comment above): both
+            # members' dot operands pack into full-width MXU tiles.
+            # The lane axis holds BOTH voxel grids (vox2 repeats 0..V-1
+            # twice — adding +V to the hat POSITIONS instead would round
+            # away fraction bits when the sum crosses a binade), and a
+            # static 0/1 block mask zeroes the off-diagonal blocks; x1
+            # and x0 are exact, so each diagonal block accumulates
+            # bit-identically to the unpaired march.  The -2 sentinel
+            # keeps masked/invalid rows at zero weight on every lane.
+            iot_c2 = jax.lax.broadcasted_iota(
+                jnp.int32, (MR, 2 * V), 1)
+            row_i2 = jax.lax.broadcasted_iota(
+                jnp.int32, (MR, 2 * V), 0)
+            vox2 = (iot_c2 - jnp.where(iot_c2 >= V, V, 0)) \
+                .astype(jnp.float32)                    # 0..V-1 twice
+            blkmask = (((iot_c2 >= V) == (row_i2 >= RM))
+                       .astype(jnp.float32))            # diag blocks
+            iot_a2 = jax.lax.broadcasted_iota(
+                jnp.int32, (VX, MR), 0).astype(jnp.float32)
+            pv = [pread(i_) for i_ in range(PW)]
+            hoist = []
+            for (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
+                 rx_row, ry_col) in pv:
+                kx2 = gscx / ext
+                ky2 = gsc / ext
+                if persp:
+                    hoist.append((kx2, ky2, (eye_x - lo_x) * kx2,
+                                  (eye_y - lo_y) * ky2))
+                else:
+                    hoist.append((kx2, ky2, kx2 * rx_row, ky2 * ry_col))
+            y_parts, x_parts = [], []
+            for u in range(U):
+                sei = jnp.int32(s * U + u)      # ascending (flip == 0)
+                zeta = (sei.astype(jnp.float32) + 0.5) / S
+                gy_sel, gx_sel = [], []
+                for i_ in range(PW):
+                    (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
+                     rx_row, ry_col) = pv[i_]
+                    kx2, ky2, hx, hy = hoist[i_]
+                    zw = lo_z + zeta * ext
+                    if persp:
+                        c1 = zw - eye_z
+                        gx = hx + (c1 * kx2) * rx_row
+                        gy = hy + (c1 * ky2) * ry_col
+                    else:
+                        gx = (zw * kx - lo_x) * kx2 + hx
+                        gy = (zw * ky - lo_y) * ky2 + hy
+                    tp = ((zw - eye_z) * szn > 0) & (vldi > 0)
+                    gy_sel.append(jnp.where(
+                        ((gy >= 0) & (gy <= gsc)) & tp, gy, -2.0))
+                    gx_sel.append(jnp.where(
+                        ((gx >= 0) & (gx <= gscx)) & (vldi > 0),
+                        gx, -2.0))
+                gsel_y = jnp.concatenate(gy_sel, axis=0)     # [MR, 1]
+                gsel_x = jnp.concatenate(gx_sel, axis=1)     # [1, MR]
+                Wy = (blkmask
+                      * jnp.maximum(0.0, 1.0 - jnp.abs(gsel_y - vox2))) \
+                    .astype(wdt)                             # [MR, 2V]
+                WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a2 - gsel_x)) \
+                    .astype(wdt)                             # [VX, MR]
+                if _ABLATE == "weights":
+                    Wy = (vox2 * 0.001).astype(wdt)
+                    WxT = (iot_a2 * 0.001).astype(wdt)
+
+                def pslab(i_, sei=sei):
+                    if stack_resident or dens_resident:
+                        return vol_stack[pl.ds(vids[i_] * S + sei,
+                                               1)][0]
+                    return vol_stacks[i_][0, pl.ds(sei, 1)][0]
+
+                slab_cat = jnp.concatenate([pslab(0), pslab(1)],
+                                           axis=1)           # [VX, 2V]
+                if _ABLATE == "dot1" and VX == V:
+                    t1_ = Wy[:, :VX] * (1.0 + slab_cat[:1, :VX])
+                else:
+                    t1_ = jax.lax.dot_general(
+                        Wy, slab_cat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec)                      # [MR, VX]
+                y_parts.append(t1_.astype(wdt))
+                x_parts.append(WxT)
+
+                if center and u == MID % U:
+                    @pl.when(s == MID // U)
+                    def _tau_mid(Wy=Wy, WxT=WxT, sei=sei):
+                        def pmid(i_):
+                            if stack_resident:
+                                return lvol_stack[
+                                    pl.ds(vids[i_] * S + sei, 1)][0]
+                            return lvol_mids[i_][0, 0]
+                        ls_cat = jnp.concatenate([pmid(0), pmid(1)],
+                                                 axis=1)
+                        t1l = jax.lax.dot_general(
+                            Wy, ls_cat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                        acc[1] = jax.lax.dot_general(
+                            t1l.astype(wdt), WxT,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+
+            if _ABLATE == "dot2":
+                od = sum(p[:, :1] * 0.001 for p in y_parts) \
+                    + x_parts[0][:1, :] * 0.0
+            else:
+                od = jax.lax.dot_general(
+                    jnp.concatenate(y_parts, axis=1) if U > 1
+                    else y_parts[0],
+                    jnp.concatenate(x_parts, axis=0) if U > 1
+                    else x_parts[0],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
+            acc[0] = acc[0] + od
+
+        @pl.when((vld_any > 0) if _ABLATE != "march" else (vld_any > 127))
         def _march_steps():
+          if PAIR:
+              _march_pair()
+              return
           # loop-invariant hat-weight iotas, built once per grid step
           iot_b = jax.lax.broadcasted_iota(
               jnp.int32, (RM, V), 1).astype(jnp.float32)
@@ -634,10 +827,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             acc[0] = acc[0] + od
 
         # ---- epilogue: select, fan-warp, write --------------------------
-        @pl.when(s == SG - 1)
-        def _write():
-            sx0 = gf[0, 0, _G_SX0]
-            sy0 = gf[0, 0, _G_SY0]
+        def _write_one(i_):
+            (lo_x, lo_y, lo_z, ext, scale, szn, vld,
+             rx_row, ry_col) = pread(i_)
+            k_ = n * PW + i_
+            b_ = (jnp.int32(i_) if PAIR else b) if fused else None
+            sx0 = gf[i_, 0, _G_SX0]
+            sy0 = gf[i_, 0, _G_SY0]
             # T is NOT shifted: T = 1 - P2 exactly (the OVER weights
             # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
             # weights sum to 1, so T_warped = 1 - P2_warped -- one less
@@ -646,15 +842,25 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # LINEAR optical depth q = od * scale*dt — the whole fan +
             # upsample chain below stays linear and ONE exp runs at the
             # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
+            if PAIR:
+                # extract this member's diagonal block from the paired
+                # accumulator planes (vreg value slices; the off-diag
+                # blocks are the packing's discarded cross terms)
+                sl = slice(i_ * RM, (i_ + 1) * RM)
+                a0 = acc[0][sl, sl]
+                a1 = acc[1][sl, sl] if center else None
+            else:
+                a0 = acc[0]
+                a1 = acc[1] if NP > 1 else None
             if lit and not center:
                 img4 = [acc[p] for p in range(NP - 1)]
             elif center:
                 # (q, tau') both LINEAR through the fan + upsample;
                 # atten = exp(-tau') once at the end
-                img4 = [acc[0] * geo[0],
-                        (scale * ext) * jnp.maximum(acc[1], 0.0)]
+                img4 = [a0 * geo[i_],
+                        (scale * ext) * jnp.maximum(a1, 0.0)]
             else:
-                img4 = [acc[0] * geo[0]]
+                img4 = [a0 * geo[i_]]
 
             # the fan runs at MARCH resolution, in march-cell units:
             # march column m sits at rect offset m*ratio pixels, the
@@ -668,8 +874,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 jnp.int32, (RM, RM), 0).astype(jnp.float32)
             ii = jax.lax.broadcasted_iota(
                 jnp.int32, (RM, RM), 1).astype(jnp.float32)
-            px_c = gf[0, 0, _G_PXC]
-            py_c = gf[0, 0, _G_PYC]
+            px_c = gf[i_, 0, _G_PXC]
+            py_c = gf[i_, 0, _G_PYC]
             rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
             uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
             sxs, sys = camf_r[0, 12], camf_r[0, 13]
@@ -817,8 +1023,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 exact = RM == RP
                 pdt = jnp.float32 if exact else wdt
                 pprec = jax.lax.Precision.HIGHEST if exact else prec
-                dyf = dy_ref[n].astype(jnp.float32)
-                dxf = dx_ref[n].astype(jnp.float32)
+                dyf = dy_ref[k_].astype(jnp.float32)
+                dxf = dx_ref[k_].astype(jnp.float32)
                 iww = jax.lax.broadcasted_iota(
                     jnp.int32, (WH, 1), 0).astype(jnp.float32)
                 posy = iww - dyf                      # rect row index
@@ -895,9 +1101,6 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                                       ).astype(img_out.dtype)
                 img_out[0, 3] = Tpl.astype(img_out.dtype)
 
-            @pl.when(n == 0)
-            def _zero():
-                clamp_out[0, 0] = 0
             clamp_out[0, 0] = clamp_out[0, 0] + n_clamp
 
             if fused:
@@ -906,12 +1109,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # feed the RGB expansion straight into the RMW — no
                 # pad buffer, no rolls.
                 def rmw(col0, wwn, placed):
-                    """RMW window columns [col0, col0+wwn) of win[b]."""
+                    """RMW window columns [col0, col0+wwn) of win[b_]."""
                     if _ABLATE == "comp":   # keep DMAs, skip the RMW
                         return
                     P1h, P2h = ((placed[0], placed[0]) if one_plane
                                 else placed)
-                    Tw = win[b, 3, :, col0:col0 + wwn] \
+                    Tw = win[b_, 3, :, col0:col0 + wwn] \
                         .astype(jnp.float32)
                     # scalar-weight hoist: the window-sized products
                     # T2 = Tw*P2 (and T1 = Tw*P1) are shared across
@@ -922,7 +1125,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     T2 = Tw * P2h
                     T1 = T2 if one_plane else Tw * P1h
                     for ch in range(3):
-                        alb = gf[0, 0, _G_ALB_R + ch]
+                        alb = gf[i_, 0, _G_ALB_R + ch]
                         if one_plane:
                             cc = alb * (lightf_r[0, ch]
                                         + lightf_r[0, 3 + ch])
@@ -930,35 +1133,64 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         else:
                             upd = (alb * lightf_r[0, ch]) * T1 \
                                 + (alb * lightf_r[0, 3 + ch]) * T2
-                        win[b, ch, :, col0:col0 + wwn] = (
-                            win[b, ch, :, col0:col0 + wwn]
+                        win[b_, ch, :, col0:col0 + wwn] = (
+                            win[b_, ch, :, col0:col0 + wwn]
                             .astype(jnp.float32) + upd).astype(cdt)
-                    win[b, 3, :, col0:col0 + wwn] = (Tw - T2).astype(cdt)
+                    win[b_, 3, :, col0:col0 + wwn] = (Tw - T2).astype(cdt)
 
-                cinA_desc().wait()
+                if PAIR and i_ == 1:
+                    # deferred q fetch: q's window overlaps p's, so its
+                    # fetch had to wait for p's write-back (started just
+                    # above in the i_ == 0 iteration); the protocol's
+                    # overlap wait now sees that copy
+                    @pl.when(ov_ref[k_] == 1)
+                    def _deferred_fetch():
+                        fetch_seq(k_, b_)
+
+                cinA_desc(k_, b_).wait()
                 rmw(0, WWA, xplace(0, WWA))
-                coutA_desc(b).start()
+                coutA_desc(k_, b_).start()
 
                 if WWB:
                     # rare wide particles touch columns >= WWA: fetch,
                     # RMW and write back the B half SYNCHRONOUSLY
-                    @pl.when(wide_ref[n] == 1)
+                    @pl.when(wide_ref[k_] == 1)
                     def _b_half():
-                        cinB_desc().start()
+                        cinB_desc(k_, b_).start()
                         placed_b = xplace(WWA, WWB)
-                        cinB_desc().wait()
+                        cinB_desc(k_, b_).wait()
                         rmw(WWA, WWB, placed_b)
-                        cb = coutB_desc()
+                        cb = coutB_desc(k_, b_)
                         cb.start()
                         cb.wait()
 
-                @pl.when(n == N - 1)
-                def _drain_own():
-                    coutA_desc(b).wait()
-                if N > 1:
-                    @pl.when((n == N - 1) & (ov_ref[n] == 0))
-                    def _drain_prev():
-                        coutA_desc(1 - b).wait()
+        @pl.when(s == SG - 1)
+        def _write():
+            @pl.when(n == 0)
+            def _zero():
+                clamp_out[0, 0] = 0
+            for i_ in range(PW):
+                _write_one(i_)
+            if fused:
+                if PAIR:
+                    @pl.when(n == N2 - 1)
+                    def _drain_q():
+                        coutA_desc(n * PW + 1, jnp.int32(1)).wait()
+
+                    @pl.when((n == N2 - 1)
+                             & (ov_ref[n * PW + 1] == 0))
+                    def _drain_p():
+                        # (when q overlapped p, its deferred fetch
+                        # already consumed p's write-back semaphore)
+                        coutA_desc(n * PW, jnp.int32(0)).wait()
+                else:
+                    @pl.when(n == N - 1)
+                    def _drain_own():
+                        coutA_desc(n, b).wait()
+                    if N > 1:
+                        @pl.when((n == N - 1) & (ov_ref[n] == 0))
+                        def _drain_prev():
+                            coutA_desc(n, 1 - b).wait()
 
     def vol_spec(u, off):
         # invalid rows (dead/culled or the other size class) map to a
@@ -976,10 +1208,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
         return pl.BlockSpec((1, V, V, V), imap, memory_space=pltpu.VMEM)
 
-    def stack_spec():
-        # invalid rows map to block 0 (same DMA-dedup trick as vol_spec)
-        def imap(n, s, v, f, vl, *pf):
-            return (jnp.where(vl[n] == 0, 0, v[n]), 0, 0, 0)
+    def stack_spec(i=0):
+        # invalid rows map to block 0 (same DMA-dedup trick as vol_spec);
+        # paired mode streams one stack per pair member (i)
+        def imap(n, s, v, f, vl, *pf, i=i):
+            k = n * PW + i
+            return (jnp.where(vl[k] == 0, 0, v[k]), 0, 0, 0)
         return pl.BlockSpec((1, S, VX, V), imap, memory_space=pltpu.VMEM)
 
     def stack_res_spec():
@@ -990,13 +1224,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                             memory_space=pltpu.VMEM)
 
     if use_stack:
-        vol_specs = [stack_res_spec() if (stack_resident or dens_resident)
-                     else stack_spec()]
+        vol_specs = ([stack_res_spec()]
+                     if (stack_resident or dens_resident)
+                     else [stack_spec(i) for i in range(PW)])
     elif full_vol:
         vol_specs = [vol_full_spec()]
     else:
         vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
-    per_n_smem = pl.BlockSpec((1, 1, _GF),
+    per_n_smem = pl.BlockSpec((PW, 1, _GF),
                               lambda n, s, *pf: (n, 0, 0),
                               memory_space=pltpu.SMEM)
     const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
@@ -1012,22 +1247,23 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         if center and use_stack and not stack_resident:
             # center mode reads ONE light slab per particle: stream a
             # [1, 1, V, V] mid-slab block instead of the full stack
-            def stack_mid_spec():
-                def imap(n, s, v, f, vl, *pf):
-                    return (jnp.where(vl[n] == 0, 0, v[n]), MID, 0, 0)
+            def stack_mid_spec(i=0):
+                def imap(n, s, v, f, vl, *pf, i=i):
+                    k = n * PW + i
+                    return (jnp.where(vl[k] == 0, 0, v[k]), MID, 0, 0)
                 return pl.BlockSpec((1, 1, VX, V), imap,
                                     memory_space=pltpu.VMEM)
-            in_specs += [stack_mid_spec()]
-            inputs += [slab_banks[1]]
+            in_specs += [stack_mid_spec(i) for i in range(PW)]
+            inputs += [slab_banks[1]] * PW
         else:
             in_specs += vol_specs
             inputs += [stack_input(slab_banks[1]) if use_stack
                        else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((1, 1, RM), lambda n, s, *pf: (n, 0, 0),
+        pl.BlockSpec((PW, 1, RM), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, RM, 1), lambda n, s, *pf: (n, 0, 0),
+        pl.BlockSpec((PW, RM, 1), lambda n, s, *pf: (n, 0, 0),
                      memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
@@ -1054,15 +1290,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else jnp.zeros((N,), jnp.int32))
     vld_i = geom["valid"].astype(jnp.int32)
     scratch = [
-        pltpu.VMEM((NP, RM, RM), jnp.float32),  # acc: (P1,P2,T) | (od,)
-        pltpu.VMEM((1, RM, RM), jnp.float32),   # geo: scale*dt
+        pltpu.VMEM((NP, MR, MR), jnp.float32),  # acc: (P1,P2,T) | (od,)
+        pltpu.VMEM((PW, RM, RM), jnp.float32),  # geo: scale*dt
     ]
 
     if fused:
         Hc, Wc = comp["Hc"], comp["Wc"]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
-            grid=(N, SG),
+            grid=(N2, SG),
             in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),

@@ -130,6 +130,19 @@ class RenderConfig:
                                # applies when slab banks are in use and
                                # the march telescopes (unlit or
                                # light_mode="center").  Multiple of 8.
+    warp_pair: int = 0         # warp engine + pallas FUSED path: march
+                               # TWO depth-consecutive particles per grid
+                               # step, packing their dot operands into
+                               # full-width MXU tiles ([2RM, 2V] block
+                               # weights, [2RM, U*VX] merged contraction)
+                               # and halving the fixed per-grid-step
+                               # cost.  Bit-identical to the unpaired
+                               # path (zero-block packing adds exact
+                               # zeros).  Requires slab banks, a
+                               # telescoped march (unlit or
+                               # light_mode="center"), RM <= 64 and an
+                               # even particle count; silently falls
+                               # back to unpaired otherwise.  0/1.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
@@ -315,6 +328,7 @@ def c4() -> SceneConfig:
         render=RenderConfig(width=1920, height=1080, steps=20, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=112,
                             warp_march_rect=64, light_mode="center",
+                            warp_pair=1,
                             warp_canvas_fp32=False, warp_shift_max=6,
                             warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.5,
@@ -343,7 +357,7 @@ def c5() -> SceneConfig:
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=176,
                             warp_march_rect=80, light_mode="center",
-                            warp_chunk=64, warp_pallas=True, warp_mega=2048,
+                            warp_pair=1, warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=7.0,
                             max_tiles_per_particle=32, max_pairs=262144,
