@@ -559,6 +559,11 @@ def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
                      warp_canvas_fp32=False),
             camera=CameraConfig(eye=(0.2, 0.4, -5.0), look_at=(0, 0, 0))),
          4e-3),
+        # yawed camera: exercises the packed ROW fan pass too
+        (dataclasses.replace(
+            _warpify(tiny_cfg, warp_pallas=True),
+            camera=CameraConfig(eye=(2.2, 0.6, -4.4),
+                                look_at=(0.2, 0.0, 0.0))), 2e-5),
     ]
     for cfg, tol in cases:
         if cfg.render.light_steps:

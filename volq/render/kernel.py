@@ -827,7 +827,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             acc[0] = acc[0] + od
 
         # ---- epilogue: select, fan-warp, write --------------------------
-        def _write_one(i_):
+        def _write_one(i_, pre=None):
             (lo_x, lo_y, lo_z, ext, scale, szn, vld,
              rx_row, ry_col) = pread(i_)
             k_ = n * PW + i_
@@ -842,164 +842,170 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # LINEAR optical depth q = od * scale*dt — the whole fan +
             # upsample chain below stays linear and ONE exp runs at the
             # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
-            if PAIR:
-                # extract this member's diagonal block from the paired
-                # accumulator planes (vreg value slices; the off-diag
-                # blocks are the packing's discarded cross terms)
-                sl = slice(i_ * RM, (i_ + 1) * RM)
-                a0 = acc[0][sl, sl]
-                a1 = acc[1][sl, sl] if center else None
+            if pre is not None:
+                # packed pair fan already produced the exps and the
+                # clamp count (_fan_pair); continue at the placement
+                P1m, P2m = pre
+                n_clamp = jnp.int32(0)
             else:
-                a0 = acc[0]
-                a1 = acc[1] if NP > 1 else None
-            if lit and not center:
-                img4 = [acc[p] for p in range(NP - 1)]
-            elif center:
-                # (q, tau') both LINEAR through the fan + upsample;
-                # atten = exp(-tau') once at the end
-                img4 = [a0 * geo[i_],
-                        (scale * ext) * jnp.maximum(a1, 0.0)]
-            else:
-                img4 = [a0 * geo[i_]]
-
-            # the fan runs at MARCH resolution, in march-cell units:
-            # march column m sits at rect offset m*ratio pixels, the
-            # march spacing is ratio pixels, and the K-pixel clamp is
-            # Kc = K/ratio cells (Km = ceil(Kc) static shift taps) —
-            # (RM/RP)^2 fewer fan divides/fmas AND ~ratio fewer taps
-            ratio = (RP - 1.0) / max(RM - 1, 1)
-            Kc = K / ratio
-            Km = K if RM == RP else -int(-Kc // 1)
-            jj = jax.lax.broadcasted_iota(
-                jnp.int32, (RM, RM), 0).astype(jnp.float32)
-            ii = jax.lax.broadcasted_iota(
-                jnp.int32, (RM, RM), 1).astype(jnp.float32)
-            px_c = gf[i_, 0, _G_PXC]
-            py_c = gf[i_, 0, _G_PYC]
-            rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
-            uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
-            sxs, sys = camf_r[0, 12], camf_r[0, 13]
-            iv = ii[0:1, :] * ratio              # [1, RM] pixel offsets
-            jv = jj[:, 0:1] * ratio              # [RM, 1]
-            dox_step = 2.0 * sxs / W_ * ratio    # ox per march column
-            doy_step = -2.0 * sys / H_ * ratio
-
-            def safe_div(num, den):
-                sgn = jnp.where(den >= 0, 1.0, -1.0)
-                return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
-
-            # closed-form fan shifts (render/warp.fan_shifts: the literal
-            # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
-            doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
-            dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
-            if persp:
-                ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
-                oy_c = (1.0 - py_c * (2.0 / H_)) * sys
-                D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
-                Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
-                Fy_i = uxc * D_ic - Nx_ic * uzc
-                Gx_i = rxc * D_ic - Nx_ic * rzc
-                D_ip1 = D_ic + dox_step * rzc
-                D_ij = D_ic + doy_j * uzc                    # [RM, RM]
-                # per-COLUMN rational factor hoisted to 1-D (only D_ij
-                # genuinely varies in 2-D): one [1, RM] safe-div + one
-                # [RM, RM] safe-div instead of two full [RM, RM]
-                # multiply chains feeding one
-                A_i = safe_div(Fy_i * D_ip1, dox_step * Gx_i)  # [1, RM]
-                du = safe_div(doy_j * A_i, D_ij)
-            else:
-                Ax = rxc - rzc * kx
-                Bx = uxc - uzc * kx
-                du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
-            clamped = ((du < -Kc) | (du > Kc - 1e-3)) & (vld > 0)
-            du = jnp.clip(du, -Kc, Kc - 1e-3)
-            du = jnp.maximum(du, -ii)
-            du = jnp.minimum(du, (RM - 1.0 - 1e-3) - ii)
-            n_clamp = jnp.sum(clamped.astype(jnp.int32))
-
-            def shift_interp(planes, delta, axis):
-                # combined-weight form: out = sum_d w_d * img[.+d] with
-                # w_d = (d0==d)(1-fr) + (d0==d-1) fr — ONE slice + one
-                # fma per plane per shift, the weight shared across
-                # planes (the naive per-shift lerp costs ~3x more VPU)
-                d0 = jnp.floor(delta)
-                fr = delta - d0
-                pads = []
-                for img in planes:
-                    zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, RM),
-                                     jnp.float32)
-                    pads.append(jnp.concatenate([zpad, img, zpad],
-                                                axis=axis))
-                outs = [jnp.zeros((RM, RM), jnp.float32) for _ in planes]
-                m_prev = jnp.zeros((RM, RM), jnp.float32)
-                for dsh in range(-Km, Km + 1):
-                    m = ((d0 == dsh).astype(jnp.float32)
-                         if dsh <= Km - 1 else jnp.float32(0.0))
-                    w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
-                    idx = [slice(None)] * 2
-                    idx[axis] = slice(Km + dsh, Km + dsh + RM)
-                    for p in range(len(planes)):
-                        outs[p] = outs[p] + w * pads[p][tuple(idx)]
-                    m_prev = m
-                return outs
-
-            if _ABLATE != "fan":
-                # center mode: the attenuation plane (img4[1]) SKIPS the
-                # fan — atten is a smooth field and the ±K px correction
-                # is visually nil on it (PSNR-gated vs per-step light;
-                # oracle mirrors the bypass), halving the fan VPU cost
-                # of the lit presets
-                if center:
-                    img4 = shift_interp(img4[:1], du, axis=1) \
-                        + list(img4[1:])
+                if PAIR:
+                    # extract this member's diagonal block from the paired
+                    # accumulator planes (vreg value slices; the off-diag
+                    # blocks are the packing's discarded cross terms)
+                    sl = slice(i_ * RM, (i_ + 1) * RM)
+                    a0 = acc[0][sl, sl]
+                    a1 = acc[1][sl, sl] if center else None
                 else:
-                    img4 = shift_interp(img4, du, axis=1)
-            if row_fan:
+                    a0 = acc[0]
+                    a1 = acc[1] if NP > 1 else None
+                if lit and not center:
+                    img4 = [acc[p] for p in range(NP - 1)]
+                elif center:
+                    # (q, tau') both LINEAR through the fan + upsample;
+                    # atten = exp(-tau') once at the end
+                    img4 = [a0 * geo[i_],
+                            (scale * ext) * jnp.maximum(a1, 0.0)]
+                else:
+                    img4 = [a0 * geo[i_]]
+
+                # the fan runs at MARCH resolution, in march-cell units:
+                # march column m sits at rect offset m*ratio pixels, the
+                # march spacing is ratio pixels, and the K-pixel clamp is
+                # Kc = K/ratio cells (Km = ceil(Kc) static shift taps) —
+                # (RM/RP)^2 fewer fan divides/fmas AND ~ratio fewer taps
+                ratio = (RP - 1.0) / max(RM - 1, 1)
+                Kc = K / ratio
+                Km = K if RM == RP else -int(-Kc // 1)
+                jj = jax.lax.broadcasted_iota(
+                    jnp.int32, (RM, RM), 0).astype(jnp.float32)
+                ii = jax.lax.broadcasted_iota(
+                    jnp.int32, (RM, RM), 1).astype(jnp.float32)
+                px_c = gf[i_, 0, _G_PXC]
+                py_c = gf[i_, 0, _G_PYC]
+                rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
+                uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
+                sxs, sys = camf_r[0, 12], camf_r[0, 13]
+                iv = ii[0:1, :] * ratio              # [1, RM] pixel offsets
+                jv = jj[:, 0:1] * ratio              # [RM, 1]
+                dox_step = 2.0 * sxs / W_ * ratio    # ox per march column
+                doy_step = -2.0 * sys / H_ * ratio
+
+                def safe_div(num, den):
+                    sgn = jnp.where(den >= 0, 1.0, -1.0)
+                    return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
+
+                # closed-form fan shifts (render/warp.fan_shifts: the literal
+                # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
+                doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
+                dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
                 if persp:
-                    oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
-                    ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
-                    D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
-                    Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
-                    Fx_j = ryc * D_cj - Ny_cj * rzc
-                    Gy_j = uyc * D_cj - Ny_cj * uzc
-                    D_jp1 = D_cj + doy_step * uzc
-                    D_ij2 = D_cj + dox_i * rzc
-                    B_j = safe_div(Fx_j * D_jp1,
-                                   doy_step * Gy_j)          # [RM, 1]
-                    dw = safe_div(dox_i * B_j, D_ij2)
+                    ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
+                    oy_c = (1.0 - py_c * (2.0 / H_)) * sys
+                    D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
+                    Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
+                    Fy_i = uxc * D_ic - Nx_ic * uzc
+                    Gx_i = rxc * D_ic - Nx_ic * rzc
+                    D_ip1 = D_ic + dox_step * rzc
+                    D_ij = D_ic + doy_j * uzc                    # [RM, RM]
+                    # per-COLUMN rational factor hoisted to 1-D (only D_ij
+                    # genuinely varies in 2-D): one [1, RM] safe-div + one
+                    # [RM, RM] safe-div instead of two full [RM, RM]
+                    # multiply chains feeding one
+                    A_i = safe_div(Fy_i * D_ip1, dox_step * Gx_i)  # [1, RM]
+                    du = safe_div(doy_j * A_i, D_ij)
                 else:
-                    Ay = ryc - rzc * ky
-                    By = uyc - uzc * ky
-                    dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
-                clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & (vld > 0)
-                dw = jnp.clip(dw, -Kc, Kc - 1e-3)
-                dw = jnp.maximum(dw, -jj)
-                dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
-                n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
+                    Ax = rxc - rzc * kx
+                    Bx = uxc - uzc * kx
+                    du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
+                clamped = ((du < -Kc) | (du > Kc - 1e-3)) & (vld > 0)
+                du = jnp.clip(du, -Kc, Kc - 1e-3)
+                du = jnp.maximum(du, -ii)
+                du = jnp.minimum(du, (RM - 1.0 - 1e-3) - ii)
+                n_clamp = jnp.sum(clamped.astype(jnp.int32))
+
+                def shift_interp(planes, delta, axis):
+                    # combined-weight form: out = sum_d w_d * img[.+d] with
+                    # w_d = (d0==d)(1-fr) + (d0==d-1) fr — ONE slice + one
+                    # fma per plane per shift, the weight shared across
+                    # planes (the naive per-shift lerp costs ~3x more VPU)
+                    d0 = jnp.floor(delta)
+                    fr = delta - d0
+                    pads = []
+                    for img in planes:
+                        zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, RM),
+                                         jnp.float32)
+                        pads.append(jnp.concatenate([zpad, img, zpad],
+                                                    axis=axis))
+                    outs = [jnp.zeros((RM, RM), jnp.float32) for _ in planes]
+                    m_prev = jnp.zeros((RM, RM), jnp.float32)
+                    for dsh in range(-Km, Km + 1):
+                        m = ((d0 == dsh).astype(jnp.float32)
+                             if dsh <= Km - 1 else jnp.float32(0.0))
+                        w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
+                        idx = [slice(None)] * 2
+                        idx[axis] = slice(Km + dsh, Km + dsh + RM)
+                        for p in range(len(planes)):
+                            outs[p] = outs[p] + w * pads[p][tuple(idx)]
+                        m_prev = m
+                    return outs
+
                 if _ABLATE != "fan":
+                    # center mode: the attenuation plane (img4[1]) SKIPS the
+                    # fan — atten is a smooth field and the ±K px correction
+                    # is visually nil on it (PSNR-gated vs per-step light;
+                    # oracle mirrors the bypass), halving the fan VPU cost
+                    # of the lit presets
                     if center:
-                        img4 = shift_interp(img4[:1], dw, axis=0) \
+                        img4 = shift_interp(img4[:1], du, axis=1) \
                             + list(img4[1:])
                     else:
-                        img4 = shift_interp(img4, dw, axis=0)
+                        img4 = shift_interp(img4, du, axis=1)
+                if row_fan:
+                    if persp:
+                        oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
+                        ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
+                        D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
+                        Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
+                        Fx_j = ryc * D_cj - Ny_cj * rzc
+                        Gy_j = uyc * D_cj - Ny_cj * uzc
+                        D_jp1 = D_cj + doy_step * uzc
+                        D_ij2 = D_cj + dox_i * rzc
+                        B_j = safe_div(Fx_j * D_jp1,
+                                       doy_step * Gy_j)          # [RM, 1]
+                        dw = safe_div(dox_i * B_j, D_ij2)
+                    else:
+                        Ay = ryc - rzc * ky
+                        By = uyc - uzc * ky
+                        dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
+                    clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & (vld > 0)
+                    dw = jnp.clip(dw, -Kc, Kc - 1e-3)
+                    dw = jnp.maximum(dw, -jj)
+                    dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
+                    n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
+                    if _ABLATE != "fan":
+                        if center:
+                            img4 = shift_interp(img4[:1], dw, axis=0) \
+                                + list(img4[1:])
+                        else:
+                            img4 = shift_interp(img4, dw, axis=0)
 
-            # The unlit/center exps run AT MARCH RESOLUTION, before the
-            # upsample: the upsampled quantity is the saturated opacity
-            # P2 (and P1), not the linear optical depth — the classic
-            # reduced-resolution-impostor choice, mirrored by the
-            # oracle.  This keeps the exp on [RM, RM] instead of the
-            # (much larger) rect/window planes.  Lit per-step planes
-            # are already (P1, P2) and are unaffected.
-            if lit and not center:
-                P1m, P2m = img4
-            elif center:
-                qm, tpm = img4
-                P2m = 1.0 - jnp.exp(-qm)
-                P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth atten
-            else:
-                qm, = img4
-                P2m = 1.0 - jnp.exp(-qm)
-                P1m = P2m    # atten == 1: P1 degenerates to P2
+                # The unlit/center exps run AT MARCH RESOLUTION, before the
+                # upsample: the upsampled quantity is the saturated opacity
+                # P2 (and P1), not the linear optical depth — the classic
+                # reduced-resolution-impostor choice, mirrored by the
+                # oracle.  This keeps the exp on [RM, RM] instead of the
+                # (much larger) rect/window planes.  Lit per-step planes
+                # are already (P1, P2) and are unaffected.
+                if lit and not center:
+                    P1m, P2m = img4
+                elif center:
+                    qm, tpm = img4
+                    P2m = 1.0 - jnp.exp(-qm)
+                    P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth atten
+                else:
+                    qm, = img4
+                    P2m = 1.0 - jnp.exp(-qm)
+                    P1m = P2m    # atten == 1: P1 degenerates to P2
             # unlit places/upsamples ONE plane (P1 is an alias of P2)
             one_plane = not lit
 
@@ -1164,13 +1170,177 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         cb.start()
                         cb.wait()
 
+
+        def _fan_pair():
+            """Packed pair fan: both members' march planes sit side by
+            side on the LANE axis ([RM, MR]), so every 2-D op in the du
+            chain, the shift taps, and the exps runs at full lane width
+            (the per-member [RM, RM] shapes only fill half a vreg).
+            The shift clamps use LOCAL column indices, which pins every
+            nonzero shift tap inside its own lane block — cross-block
+            reads only ever multiply an exact 0.0 weight — so each
+            block is bit-identical to the unpaired fan.  Returns
+            ([(P1m, P2m)] per member, shift-clamp count)."""
+            ratio = (RP - 1.0) / max(RM - 1, 1)
+            Kc = K / ratio
+            Km = K if RM == RP else -int(-Kc // 1)
+            jv = jax.lax.broadcasted_iota(
+                jnp.int32, (RM, 1), 0).astype(jnp.float32) * ratio
+            i1 = jax.lax.broadcasted_iota(
+                jnp.int32, (1, RM), 1).astype(jnp.float32)
+            iv = i1 * ratio                      # [1, RM] pixel offsets
+            iil = jnp.concatenate([i1] * PW, axis=1)   # LOCAL col index
+            rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
+            uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
+            sxs, sys = camf_r[0, 12], camf_r[0, 13]
+            dox_step = 2.0 * sxs / W_ * ratio
+            doy_step = -2.0 * sys / H_ * ratio
+
+            def safe_div(num, den):
+                sgn = jnp.where(den >= 0, 1.0, -1.0)
+                return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
+
+            def bcat(cols):                      # [1, RM] x PW -> [1, MR]
+                return jnp.concatenate(cols, axis=1)
+
+            def rcat(rows):                      # [RM, 1] x PW -> [RM, MR]
+                return jnp.concatenate(
+                    [jnp.broadcast_to(r, (RM, RM)) for r in rows], axis=1)
+
+            doyj_i, D_ic_i, A_i_i, vm_i = [], [], [], []
+            doxi_i, Bj_i, Dcj_i = [], [], []
+            for i_ in range(PW):
+                px_c = gf[i_, 0, _G_PXC]
+                py_c = gf[i_, 0, _G_PYC]
+                sx0 = gf[i_, 0, _G_SX0]
+                sy0 = gf[i_, 0, _G_SY0]
+                vldi = gf[i_, 0, _G_VALID]
+                doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
+                doyj_i.append(doy_j)
+                vm_i.append(jnp.broadcast_to(vldi > 0, (1, RM)))
+                if persp:
+                    ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
+                    oy_c = (1.0 - py_c * (2.0 / H_)) * sys
+                    D_ic = fwd_z + ox_i * rzc + oy_c * uzc   # [1, RM]
+                    Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
+                    Fy_i = uxc * D_ic - Nx_ic * uzc
+                    Gx_i = rxc * D_ic - Nx_ic * rzc
+                    D_ip1 = D_ic + dox_step * rzc
+                    D_ic_i.append(D_ic)
+                    A_i_i.append(safe_div(Fy_i * D_ip1,
+                                          dox_step * Gx_i))
+                if row_fan:
+                    dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
+                    doxi_i.append(dox_i)
+                    if persp:
+                        oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) \
+                            * sys
+                        ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
+                        D_cj = fwd_z + oy_j * uzc + ox_c * rzc  # [RM, 1]
+                        Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
+                        Fx_j = ryc * D_cj - Ny_cj * rzc
+                        Gy_j = uyc * D_cj - Ny_cj * uzc
+                        D_jp1 = D_cj + doy_step * uzc
+                        Dcj_i.append(D_cj)
+                        Bj_i.append(safe_div(Fx_j * D_jp1,
+                                             doy_step * Gy_j))
+
+            doyj_p = rcat(doyj_i)                # [RM, MR]
+            vmask = bcat(vm_i)
+            if persp:
+                D_ij = bcat(D_ic_i) + doyj_p * uzc
+                du = safe_div(doyj_p * bcat(A_i_i), D_ij)
+            else:
+                Ax = rxc - rzc * kx
+                Bx = uxc - uzc * kx
+                du = safe_div(doyj_p * Bx, dox_step * Ax)
+            clamped = ((du < -Kc) | (du > Kc - 1e-3)) & vmask
+            du = jnp.clip(du, -Kc, Kc - 1e-3)
+            du = jnp.maximum(du, -iil)
+            du = jnp.minimum(du, (RM - 1.0 - 1e-3) - iil)
+            n_clamp = jnp.sum(clamped.astype(jnp.int32))
+
+            def shift_packed(img, delta, axis):
+                d0 = jnp.floor(delta)
+                fr = delta - d0
+                zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, MR),
+                                 jnp.float32)
+                pad = jnp.concatenate([zpad, img, zpad], axis=axis)
+                out = jnp.zeros((RM, MR), jnp.float32)
+                m_prev = jnp.zeros((RM, MR), jnp.float32)
+                ln = MR if axis == 1 else RM
+                for dsh in range(-Km, Km + 1):
+                    m = ((d0 == dsh).astype(jnp.float32)
+                         if dsh <= Km - 1 else jnp.float32(0.0))
+                    w = m + fr * (m_prev - m)
+                    idx = [slice(None)] * 2
+                    idx[axis] = slice(Km + dsh, Km + dsh + ln)
+                    out = out + w * pad[tuple(idx)]
+                    m_prev = m
+                return out
+
+            # packed planes: diagonal blocks side by side on lanes
+            a0 = acc[0]
+            geo_p = jnp.concatenate([geo[i_] for i_ in range(PW)],
+                                    axis=1)
+            q_p = jnp.concatenate(
+                [a0[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
+                 for i_ in range(PW)], axis=1) * geo_p
+            if center:
+                a1 = acc[1]
+                se_p = bcat([jnp.broadcast_to(
+                    gf[i_, 0, _G_SCALE] * gf[i_, 0, _G_EXT], (1, RM))
+                    for i_ in range(PW)])
+                t_p = se_p * jnp.maximum(jnp.concatenate(
+                    [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
+                     for i_ in range(PW)], axis=1), 0.0)
+
+            if _ABLATE != "fan":
+                q_p = shift_packed(q_p, du, 1)
+            if row_fan:
+                jjc = jax.lax.broadcasted_iota(
+                    jnp.int32, (RM, 1), 0).astype(jnp.float32)
+                if persp:
+                    D_ij2 = jnp.concatenate(
+                        [Dcj_i[i_] + doxi_i[i_] * rzc
+                         for i_ in range(PW)], axis=1)
+                    dw = safe_div(jnp.concatenate(
+                        [doxi_i[i_] * Bj_i[i_] for i_ in range(PW)],
+                        axis=1), D_ij2)
+                else:
+                    Ay = ryc - rzc * ky
+                    By = uyc - uzc * ky
+                    dw = safe_div(
+                        bcat(doxi_i) * Ay, doy_step * By) + 0.0 * doyj_p
+                clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & vmask
+                dw = jnp.clip(dw, -Kc, Kc - 1e-3)
+                dw = jnp.maximum(dw, -jjc)
+                dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jjc)
+                n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
+                if _ABLATE != "fan":
+                    q_p = shift_packed(q_p, dw, 0)
+
+            # exps at march resolution, packed
+            P2m_p = 1.0 - jnp.exp(-q_p)
+            P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
+            pres = [(P1m_p[:, i_ * RM:(i_ + 1) * RM],
+                     P2m_p[:, i_ * RM:(i_ + 1) * RM])
+                    for i_ in range(PW)]
+            return pres, n_clamp
+
         @pl.when(s == SG - 1)
         def _write():
             @pl.when(n == 0)
             def _zero():
                 clamp_out[0, 0] = 0
-            for i_ in range(PW):
-                _write_one(i_)
+            if PAIR:
+                pres, nc_pair = _fan_pair()
+                clamp_out[0, 0] = clamp_out[0, 0] + nc_pair
+                for i_ in range(PW):
+                    _write_one(i_, pres[i_])
+            else:
+                for i_ in range(PW):
+                    _write_one(i_)
             if fused:
                 if PAIR:
                     @pl.when(n == N2 - 1)
