@@ -4,6 +4,8 @@ single-device frame bit-for-bit-ish (same math, different partitioning) —
 the identical code path runs on a real v5e-8."""
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax
 
@@ -46,6 +48,7 @@ def _compare_sharded(cfg, n_frames=3):
     return st_8
 
 
+@pytest.mark.slow
 def test_sharded_frame_matches_single_device(tiny_cfg):
     cfg = dataclasses.replace(
         tiny_cfg, n_particles=16,

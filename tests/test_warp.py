@@ -219,6 +219,7 @@ def test_warp_pallas_matches_xla_path(tiny_cfg):
                   - np.asarray(img_p, np.float64)).max() < 1e-5
 
 
+@pytest.mark.slow
 def test_warp_mixed_sizes_match_oracle(tiny_cfg):
     """A 3.6x particle-size spread renders through the single-class
     fused path and matches the oracle (incl. with megachunks in the
@@ -259,6 +260,7 @@ def test_warp_fused_matches_unfused(tiny_cfg):
     assert int(stats_f["shift_clamped"]) == int(stats_u["shift_clamped"])
 
 
+@pytest.mark.slow
 def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
     """Shared banks streamed per particle march in VOL-IDX-SORTED order
     (DMA dedup); the composite's ``order`` permutation must still put
@@ -286,6 +288,7 @@ def test_warp_vol_sorted_march_matches(tiny_cfg, monkeypatch):
 
 
 @pytest.mark.parametrize("pallas", [False, True])
+@pytest.mark.slow
 def test_warp_megachunks_match_single_pass(tiny_cfg, pallas):
     """Depth-sorted megachunking is an execution strategy, not a
     semantics change: chunked and single-pass renders must agree (tiny
@@ -357,6 +360,7 @@ def test_warp_march_rect_matches_oracle(tiny_cfg, pallas):
     assert psnr > 35.0, f"RM=32 vs RP=48 PSNR {psnr:.1f} dB"
 
 
+@pytest.mark.slow
 def test_warp_march_rect_lit_and_bf16(tiny_lit_cfg):
     """RM decoupling under lighting (post-accumulation P1/P2 planes are
     upsampled) and under bf16 quantization (the oracle mirrors the
@@ -381,6 +385,7 @@ def test_warp_march_rect_lit_and_bf16(tiny_lit_cfg):
 
 
 @pytest.mark.parametrize("pallas", [False, True])
+@pytest.mark.slow
 def test_warp_center_light_mode(tiny_lit_cfg, pallas):
     """light_mode="center": self-shadowing samples the baked light
     volume ONCE per ray at the particle's mid-depth (telescoped march +
@@ -442,6 +447,7 @@ def test_warp_straddler_renders_and_matches_oracle():
     assert np.abs(img - np.asarray(img2, np.float64)).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_warp_flythrough_no_popping():
     """Fly the camera head-on INTO a particle: the frames where its AABB
     straddles the eye plane keep rendering (matching the oracle), stay
@@ -542,6 +548,7 @@ def test_warp_slab_vx_center_light(tiny_lit_cfg):
         == per_step.volume.size
 
 
+@pytest.mark.slow
 def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
     """warp_pair marches two particles per grid step, packing their dot
     operands into full-width MXU tiles.  The packing only ever adds
