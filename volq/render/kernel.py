@@ -85,6 +85,17 @@ def stack_bank_resident(slab_banks, lit: bool, center: bool = False) -> bool:
     return (center or not lit) and dens_bytes <= 12 * 2 ** 20
 
 
+def pair_enabled(cfg: SceneConfig, n: int, use_stack: bool, lit: bool,
+                 center: bool) -> bool:
+    """Whether the FUSED kernel will run in paired mode (see PAIR below).
+    Shared with warp._pair_swap_order so the host-side pair-aware
+    composite reorder engages for exactly the same configs."""
+    r = cfg.render
+    from volq.render.warp import march_rect
+    return (bool(r.warp_pair) and use_stack and (center or not lit)
+            and n % 2 == 0 and march_rect(cfg) <= 96)
+
+
 def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                       light: Light, cfg: SceneConfig, geom,
                       light_volumes=None, slab_banks=None,
@@ -240,8 +251,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # configs ran far under peak on half-empty 128-tiles) AND half the
     # fixed per-grid-step cost.  Bit-identical to unpaired; telescoped
     # (unlit/center) slab-bank fused configs with even N only.
-    PAIR = (bool(r.warp_pair) and fused and use_stack
-            and (center or not lit) and N % 2 == 0 and RM <= 96)
+    PAIR = fused and pair_enabled(cfg, N, use_stack, lit, center)
     PW = 2 if PAIR else 1
     N2 = N // PW
     MR = PW * RM
