@@ -586,3 +586,55 @@ def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
         assert a[..., 3].max() > 0.05        # non-trivial image
         d = np.abs(a - bimg).max()
         assert d < tol, f"paired vs unpaired: max diff {d}"
+
+
+def test_pair_swap_order_invariants():
+    """_pair_swap_order must only ever swap DISJOINT-window neighbors
+    (the exactness condition) and must not increase the pair-internal
+    overlap count, on randomized geometry."""
+    import jax
+    from volq.render.warp import _pair_swap_order, _fused_comp_offsets
+    from volq.render.kernel import _canvas_dims
+
+    cfg = _warpify(SceneConfig(
+        n_particles=64, init="grid", seed=3,
+        volume=VolumeConfig(size=16, bank_size=4, octaves=1),
+        emitter=EmitterConfig(radius=2.0, size_min=0.4, size_max=0.8,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(0.2, 0.5, -6.0)),
+        render=RenderConfig(width=256, height=128, steps=8),
+    ), warp_pallas=True)
+    H = cfg.render.height
+    RP = cfg.render.warp_rect
+    WH, WW, Hc, Wc = _canvas_dims(cfg, H, fused=True)
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        N = 64
+        geom = {
+            "sy0": jnp.asarray(rng.integers(-RP, H, N), jnp.int32),
+            "sx0": jnp.asarray(rng.integers(-RP, cfg.render.width, N),
+                               jnp.int32),
+        }
+        order = jnp.asarray(rng.permutation(N), jnp.int32)
+        new = _pair_swap_order(order, geom, cfg, 0, H)
+        o0 = np.asarray(order)
+        o1 = np.asarray(new)
+        # same multiset, only adjacent (odd, odd+1) transpositions
+        assert sorted(o1.tolist()) == sorted(o0.tolist())
+        oy = np.clip(np.asarray(geom["sy0"]) + RP, 0, Hc - WH) // 8 * 8
+        ox = np.clip(np.asarray(geom["sx0"]) + RP, 0, Wc - WW) // 128 * 128
+
+        def ovl(a, b):
+            return (abs(int(oy[a]) - int(oy[b])) < WH
+                    and abs(int(ox[a]) - int(ox[b])) < WW)
+
+        moved = np.nonzero(o1 != o0)[0]
+        for k in moved[::2]:
+            assert o1[k] == o0[k + 1] and o1[k + 1] == o0[k]
+            # exactness: the swapped two must have disjoint windows
+            assert not ovl(o0[k], o0[k + 1]), (trial, k)
+
+        def internal(o):
+            return sum(ovl(o[k - 1], o[k]) for k in range(1, N, 2))
+
+        assert internal(o1) <= internal(o0), trial
