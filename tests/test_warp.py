@@ -638,3 +638,48 @@ def test_pair_swap_order_invariants():
             return sum(ovl(o[k - 1], o[k]) for k in range(1, N, 2))
 
         assert internal(o1) <= internal(o0), trial
+
+
+@pytest.mark.slow
+def test_warp_pair_streamed_mid_light():
+    """Paired kernel with a DENSITY-only-resident bank (joint bank over
+    the 8 MB cut, density under the 12 MB solo budget): center mode
+    then streams one mid-slab per particle — paired, that is TWO
+    streamed block inputs per grid step.  Must match unpaired to bf16
+    ulps (exact on the MXU; CPU interpret regroups dot sums)."""
+    from volq.render.kernel import stack_bank_resident
+    from volq.render.warp import bake_march_slabs, use_slab_banks
+    cfg = SceneConfig(
+        n_particles=8, init="grid", seed=13,
+        volume=VolumeConfig(size=32, bank_size=260, octaves=1),
+        emitter=EmitterConfig(radius=1.6, size_min=0.5, size_max=0.9,
+                              life_min=100.0, life_max=100.0,
+                              albedo_base=(1.0, 0.9, 0.8)),
+        camera=CameraConfig(eye=(0.3, 0.8, -5.0), fov_y_deg=50.0),
+        render=RenderConfig(width=128, height=64, steps=8, light_steps=4,
+                            engine="warp", warp_rect=48, warp_chunk=4,
+                            warp_pallas=True, warp_fp32=False,
+                            warp_canvas_fp32=False, light_mode="center",
+                            density_scale=10.0,
+                            max_tiles_per_particle=32, max_pairs=256,
+                            max_pairs_per_tile=16),
+    )
+    assert use_slab_banks(cfg, 32)
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    banks = (bake_march_slabs(state.volumes, 8, jnp.bfloat16),
+             bake_march_slabs(lvol, 8, jnp.bfloat16))
+    # the scenario under test: density resident SOLO, light mid streamed
+    assert stack_bank_resident(banks, lit=True, center=True)
+    dens_b = banks[0].size * banks[0].dtype.itemsize
+    assert 2 * dens_b > 8 * 2 ** 20 and dens_b <= 12 * 2 ** 20
+    cfg_pair = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, warp_pair=1))
+    a, _ = render_only(state, camera, light, cfg)
+    bimg, _ = render_only(state, camera, light, cfg_pair)
+    a = np.asarray(a, np.float64)
+    bimg = np.asarray(bimg, np.float64)
+    assert a[..., 3].max() > 0.05
+    d = np.abs(a - bimg).max()
+    assert d < 4e-3, f"paired vs unpaired (streamed mid): max diff {d}"

@@ -86,13 +86,18 @@ def stack_bank_resident(slab_banks, lit: bool, center: bool = False) -> bool:
 
 
 def pair_enabled(cfg: SceneConfig, n: int, use_stack: bool, lit: bool,
-                 center: bool) -> bool:
+                 center: bool, resident: bool = True) -> bool:
     """Whether the FUSED kernel will run in paired mode (see PAIR below).
     Shared with warp._pair_swap_order so the host-side pair-aware
-    composite reorder engages for exactly the same configs."""
+    composite reorder engages for exactly the same configs.
+    ``resident``: VMEM-resident slab bank(s) (stack_bank_resident) —
+    pairing is restricted to resident banks (every preset that enables
+    it qualifies; per-particle STREAMED stacks would need paired block
+    streams that no config exercises)."""
     r = cfg.render
     from volq.render.warp import march_rect
-    return (bool(r.warp_pair) and use_stack and (center or not lit)
+    return (bool(r.warp_pair) and use_stack and resident
+            and (center or not lit)
             and n % 2 == 0 and march_rect(cfg) <= 96)
 
 
@@ -251,7 +256,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # configs ran far under peak on half-empty 128-tiles) AND half the
     # fixed per-grid-step cost.  Bit-identical to unpaired; telescoped
     # (unlit/center) slab-bank fused configs with even N only.
-    PAIR = fused and pair_enabled(cfg, N, use_stack, lit, center)
+    PAIR = fused and pair_enabled(cfg, N, use_stack, lit, center,
+                                  resident=(stack_resident
+                                            or dens_resident))
     PW = 2 if PAIR else 1
     N2 = N // PW
     MR = PW * RM

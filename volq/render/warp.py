@@ -1183,7 +1183,10 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         # so shared streamed banks rely on DMA/compute overlap instead.
         from volq.render.kernel import pair_enabled
         if pair_enabled(cfg, N, slab_banks is not None, lit_,
-                        lit_ and r.light_mode == "center"):
+                        lit_ and r.light_mode == "center",
+                        resident=stack_bank_resident(
+                            slab_banks, lit_,
+                            center=lit_ and r.light_mode == "center")):
             # pair-aware composite reorder: bit-exact (only disjoint
             # windows commute), cuts the paired kernel's deferred-fetch
             # stalls; flags below are recomputed on the swapped order
