@@ -189,7 +189,8 @@ def _sync(x):
 
 
 def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
-                fb: int = 6, mesh: int = 0, windows: int = 3):
+                fb: int = 6, mesh: int = 0, windows: int = 3,
+                window_times: list | None = None):
     """THE benchmark harness (used by bench.py, bench/suite.py and the
     CLI --bench, so all three report the same number): steady-state
     seconds/frame with the image kept on device — only a tiny checksum
@@ -204,7 +205,9 @@ def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
     windows is returned: single windows swing ±7% with TPU/relay
     contention on this environment.
 
-    Returns (seconds_per_frame, host stats dict of the LAST frame)."""
+    Returns (seconds_per_frame, host stats dict of the LAST frame).
+    ``window_times``: pass a list to receive the raw per-window
+    seconds/frame values (the noise band around the median)."""
     state, camera, light = setup(cfg)
     if mesh:
         from volq.dist.mesh import make_mesh
@@ -235,6 +238,8 @@ def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
         _sync(image)
         dts.append((time.perf_counter() - t0) / (reps * fb))
     dt = sorted(dts)[len(dts) // 2]
+    if window_times is not None:
+        window_times.extend(dts)
     stats = jax.device_get(stats)
     last = {k: (v[-1] if getattr(v, "ndim", 0) else v)
             for k, v in stats.items()}
