@@ -115,41 +115,81 @@ def case_c3_class_warp_lit():
         TOL_BF16_FUSED_LIT
 
 
-def case_c4_class_center_light():
+def case_c4_class_center_light_paired():
     """A config-4-class scene (1080p, shared 64^3 bank, center-sampled
-    light mode — the c4/c5 production lighting path) shrunk to 256
-    particles for oracle speed."""
+    light mode, PAIRED fused march — c4's full shipped production path:
+    the preset carries warp_pair=1 and the shrunk scene stays inside the
+    pairing envelope, asserted below) shrunk to 256 particles for
+    oracle speed."""
     import jax.numpy as jnp
     from volq.scene.config import c4
     from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.render.kernel import pair_enabled
     from volq.volume.lightbake import bake_light_volumes, dominant_axis
     from volq.engine.loop import setup, render_only
 
     cfg = c4()
     cfg = dataclasses.replace(cfg, n_particles=256)
+    assert pair_enabled(cfg, 256, True, True, True), \
+        "case must exercise the PAIRED kernel (c4's shipped mode)"
     state, camera, light = setup(cfg)
     lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
                               axis=dominant_axis(cfg.light.direction))
     img, _ = render_only(state, camera, light, cfg)
     ref = render_warp_oracle(state.particles, state.volumes, camera, light,
                              cfg, light_volumes=np.asarray(lvol))
-    return "c4class_warp_pallas_bf16_centerlit_1080p", \
+    return "c4class_warp_pallas_bf16_centerlit_paired_1080p", \
         float(np.abs(np.asarray(img, np.float64) - ref).max()), \
         TOL_BF16_FUSED_LIT
+
+
+def case_c3_class_vx64():
+    """A config-3-class scene exactly as SHIPPED (unlit, bf16,
+    x-downsampled slab banks warp_slab_vx=64 — the round-3 bank
+    resampling the lit case above cannot exercise, since per-step lit
+    forces vx inert) shrunk to 128 particles.  The oracle mirrors the
+    vx lerp bit-for-bit, so the budget stays a few bf16 ulps."""
+    from volq.scene.config import c3
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.render.warp import slab_vx_eff
+
+    cfg = c3()
+    cfg = dataclasses.replace(
+        cfg, n_particles=128,
+        volume=dataclasses.replace(cfg.volume, bank_size=128))
+    assert slab_vx_eff(cfg, cfg.volume.size) == 64, \
+        "case must exercise the x-downsampled banks (c3's shipped mode)"
+    state, camera, light, img = _scene(cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera,
+                             light, cfg)
+    return "c3class_warp_pallas_bf16_vx64_1080p", \
+        float(np.abs(img - ref).max()), TOL_BF16
+
+
+CASES = (case_c1_exact, case_c2_warp_fp32, case_c2_warp, case_c2_slab,
+         case_c3_class_warp_lit, case_c3_class_vx64,
+         case_c4_class_center_light_paired)
 
 
 def main():
     import jax
     platform = jax.devices()[0].platform
-    ok = True
-    for case in (case_c1_exact, case_c2_warp_fp32, case_c2_warp,
-                 case_c2_slab, case_c3_class_warp_lit,
-                 case_c4_class_center_light):
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    records, ok = [], True
+    for case in CASES:
+        if only and not any(s in case.__name__ for s in only):
+            continue
         name, d, budget = case()
         ok = ok and d < budget
-        print(json.dumps({"case": name, "platform": platform,
-                          "max_abs_diff": d, "budget": budget,
-                          "pass": d < budget}), flush=True)
+        rec = {"case": name, "platform": platform, "max_abs_diff": d,
+               "budget": budget, "pass": d < budget}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
     return 0 if ok else 1
 
 

@@ -23,8 +23,10 @@ def bench_config(name: str, n_frames: int = 24):
     # the shared harness (engine/loop.time_frames): frames batched per
     # dispatch, fetch-synced, median-of-3 windows — the same numbers as
     # bench.py and the CLI --bench
+    band = []
     t0 = time.perf_counter()
-    frame_s, stats = time_frames(cfg, n_frames, fb=6, windows=3)
+    frame_s, stats = time_frames(cfg, n_frames, fb=6, windows=3,
+                                 window_times=band)
     # rough compile estimate: wall time minus the frames actually run
     # (3 warmup + 3 windows of ceil(n/6) dispatches, 6 frames each)
     n_run = (3 + 3 * -(-n_frames // 6)) * 6
@@ -51,10 +53,29 @@ def bench_config(name: str, n_frames: int = 24):
         "frame_ms": round(frame_s * 1e3, 3),
         "fps": round(1.0 / frame_s, 1),
         "mrays_per_s": round(rays / frame_s / 1e6, 1),
+        "window_mrays": sorted(round(rays / w / 1e6, 1) for w in band),
         "sim_steps_per_s": round(1.0 / sim_s, 1),
         "compile_s": round(compile_s, 1),
+        "engine_flags": engine_flags(cfg),
         "stats": {k: int(v) for k, v in jax.device_get(stats).items()},
     }
+
+
+def engine_flags(cfg):
+    """The per-row engine knobs BASELINE.md's table reports, pulled from
+    the ACTUAL preset (so the table can never drift from the shipped
+    config — the round-3 failure mode)."""
+    from volq.render.warp import march_rect, slab_vx_eff
+    r = cfg.render
+    f = {"engine": r.engine}
+    if r.engine == "warp":
+        f.update(rect=r.warp_rect, rm=march_rect(cfg),
+                 vx=slab_vx_eff(cfg, cfg.volume.size),
+                 pair=int(bool(r.warp_pair)), fused=int(bool(r.warp_fused)),
+                 dtype="fp32" if r.warp_fp32 else "bf16")
+        if r.light_steps > 0:
+            f["light"] = r.light_mode
+    return f
 
 
 def bench_c5_shard_slice(n_frames: int = 10):
@@ -125,15 +146,24 @@ def bench_c5_shard_slice(n_frames: int = 10):
                   "animated bake, lit)",
         "frame_ms": round(dt * 1e3, 3),
         "mrays_per_chip_s": round(rays / dt / 1e6, 1),
+        "engine_flags": engine_flags(cfg),
         "stats": {k: int(v_) for k, v_ in
                   __import__("jax").device_get(stats).items()},
     }
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["c1", "c2", "c3", "c4", "c5shard"]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or ["c1", "c2", "c3", "c4", "c5shard"]
+    records = []
     for n in names:
         if n == "c5shard":
-            print(json.dumps(bench_c5_shard_slice()), flush=True)
+            records.append(bench_c5_shard_slice())
         else:
-            print(json.dumps(bench_config(n)), flush=True)
+            records.append(bench_config(n))
+        print(json.dumps(records[-1]), flush=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)

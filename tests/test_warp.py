@@ -683,3 +683,39 @@ def test_warp_pair_streamed_mid_light():
     assert a[..., 3].max() > 0.05
     d = np.abs(a - bimg).max()
     assert d < 4e-3, f"paired vs unpaired (streamed mid): max diff {d}"
+
+
+def test_warp_pair_outside_envelope_warns_and_counts(tiny_cfg):
+    """warp_pair=1 outside the pairing envelope must not be a silent
+    no-op: the render warns at trace time and stats carry
+    pair_inactive=1.  In-envelope configs count 0 and stay quiet."""
+    import warnings
+    from volq.scene.config import SceneConfig as SC  # noqa: F401
+
+    # odd particle count -> pairing cannot engage
+    cfg_odd = dataclasses.replace(
+        _warpify(tiny_cfg, warp_pallas=True, warp_pair=1), n_particles=7)
+    state, camera, light = setup(cfg_odd)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, stats = render_only(state, camera, light, cfg_odd)
+    assert int(stats["pair_inactive"]) == 1
+    assert any("warp_pair" in str(x.message) for x in w)
+
+    # unfused kernel -> also outside the envelope
+    cfg_unfused = _warpify(tiny_cfg, warp_pallas=True, warp_pair=1,
+                           warp_fused=False)
+    state, camera, light = setup(cfg_unfused)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, stats = render_only(state, camera, light, cfg_unfused)
+    assert int(stats["pair_inactive"]) == 1
+
+    # in-envelope: even N, fused, resident bank, unlit
+    cfg_ok = _warpify(tiny_cfg, warp_pallas=True, warp_pair=1)
+    state, camera, light = setup(cfg_ok)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _, stats = render_only(state, camera, light, cfg_ok)
+    assert int(stats["pair_inactive"]) == 0
+    assert not any("warp_pair" in str(x.message) for x in w)

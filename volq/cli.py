@@ -141,6 +141,12 @@ def main(argv=None):
         state, camera, light = loop.setup(cfg)
 
     fpl = max(args.frames_per_launch, 1)
+    if args.gif and fpl > 1:
+        # batched launches only return the LAST frame of each dispatch —
+        # a fpl>1 GIF would silently skip fpl-1 of every fpl frames
+        print("note: --gif captures every frame; forcing "
+              "--frames-per-launch 1", file=sys.stderr)
+        fpl = 1
     if args.mesh:
         from volq.dist.mesh import make_mesh
         from volq.dist.sharded import sharded_frame_fn, shard_state

@@ -143,6 +143,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # fp32 mode: true-f32 MXU passes (the default is a bf16 multi-pass
     # approximation; see render/warp.py)
     prec = jax.lax.Precision.HIGHEST if r.warp_fp32 else None
+    if light_volumes is not None and r.light_steps <= 0:
+        # no light march requested: drop the bake so ``lit`` gates
+        # identically here and in warp.py's host-side mirrors
+        # (pair_enabled / stack_bank_resident use the same formula)
+        light_volumes = None
     lit = light_volumes is not None
     # light_mode="center": self-shadowing samples the baked light volume
     # ONCE per ray at the particle's mid-depth step (per-ray shadow
@@ -268,9 +273,17 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     else:
         u_cap = 8 if RP <= 160 else (4 if RP <= 224 else 2)
     if PAIR:
-        # paired temporaries are 2x per step (t1 [2RM, VX]); halve the
-        # full-unroll ceiling headroom conservatively
-        u_cap = min(u_cap, max(S // 2, 1)) if S > 24 else u_cap
+        # paired march temporaries scale with the unroll: each unrolled
+        # step materializes t1 [MR, VX] plus the merged-dot2 operands /
+        # product (~[MR, MR]) on Mosaic's 16 MB scoped-vmem stack.  Cap
+        # the unroll from an explicit bytes estimate (double-buffer
+        # factor 2, 6 MB budget — conservative vs the 16 MB stack;
+        # reproduces the shipped presets' full unroll) so configs with
+        # larger RM/VX/S degrade to a smaller unroll instead of failing
+        # to compile.
+        itm = 4 if r.warp_fp32 else 2
+        pair_step_bytes = MR * (VX + MR) * itm * 2
+        u_cap = min(u_cap, max((6 * 2 ** 20) // pair_step_bytes, 1))
     U = next(u for u in (S, 16, 12, 8, 6, 4, 3, 2, 1)
              if S % u == 0 and u <= u_cap)
     SG = S // U

@@ -989,36 +989,47 @@ def _pair_swap_order(order, geom, cfg: SceneConfig, y_start, h_local):
     bit-for-bit — and profitable when it neither creates a (p, r)
     internal overlap nor a new overlap against s = order[k+2].
     Odd-position swaps touch disjoint index pairs, so the whole pass is
-    one gather.  Measured on c4: pair-internal overlaps 13.8% -> ~4%."""
+    one gather.  The "don't poison the next pair" guard tests s =
+    order[k+2] at its PRE-pass position, and an independent swap firing
+    at k+2 moves that element — so one pass can still leave a pair-
+    internal overlap it meant to avoid (exactness is unaffected: the
+    swapped q/r disjointness check is per-swap).  The pass therefore
+    runs TWICE; the second pass sees the updated order and swaps away
+    most of that residue.  Measured on c4: pair-internal overlaps
+    13.8% -> ~4% after one pass."""
     from volq.render.kernel import _canvas_dims
     r = cfg.render
     RP = r.warp_rect
     WH, WW, Hc, Wc = _canvas_dims(cfg, h_local, fused=True)
-    sy0 = geom["sy0"][order]
-    sx0 = geom["sx0"][order]
-    oy = jnp.clip(sy0 - jnp.asarray(y_start, jnp.int32) + RP,
-                  0, Hc - WH).astype(jnp.int32)
-    ox = jnp.clip(sx0 + RP, 0, Wc - WW).astype(jnp.int32)
-    oy = (oy // 8) * 8
-    ox = (ox // 128) * 128
-
-    def ovl(i, j):
-        return ((jnp.abs(oy[i] - oy[j]) < WH)
-                & (jnp.abs(ox[i] - ox[j]) < WW))
-
     N = order.shape[0]
-    k = jnp.arange(1, N - 1, 2)                 # odd positions with k+1
-    p, q, rr = k - 1, k, k + 1
-    s = jnp.minimum(k + 2, N - 1)
-    has_s = (k + 2) <= (N - 1)
-    swap = (ovl(q, p)                            # q stalls on p today
-            & ~ovl(q, rr)                        # LEGALITY: q, r disjoint
-            & ~ovl(rr, p)                        # (p, r) pair stays clean
-            & ~(ovl(s, q) & has_s & ~ovl(s, rr)))  # don't poison next pair
-    perm = jnp.arange(N, dtype=jnp.int32)
-    perm = perm.at[k].set(jnp.where(swap, rr, k))
-    perm = perm.at[rr].set(jnp.where(swap, k, rr))
-    return order[perm]
+
+    def one_pass(order):
+        sy0 = geom["sy0"][order]
+        sx0 = geom["sx0"][order]
+        oy = jnp.clip(sy0 - jnp.asarray(y_start, jnp.int32) + RP,
+                      0, Hc - WH).astype(jnp.int32)
+        ox = jnp.clip(sx0 + RP, 0, Wc - WW).astype(jnp.int32)
+        oy = (oy // 8) * 8
+        ox = (ox // 128) * 128
+
+        def ovl(i, j):
+            return ((jnp.abs(oy[i] - oy[j]) < WH)
+                    & (jnp.abs(ox[i] - ox[j]) < WW))
+
+        k = jnp.arange(1, N - 1, 2)             # odd positions with k+1
+        p, q, rr = k - 1, k, k + 1
+        s = jnp.minimum(k + 2, N - 1)
+        has_s = (k + 2) <= (N - 1)
+        swap = (ovl(q, p)                        # q stalls on p today
+                & ~ovl(q, rr)                    # LEGALITY: q, r disjoint
+                & ~ovl(rr, p)                    # (p, r) pair stays clean
+                & ~(ovl(s, q) & has_s & ~ovl(s, rr)))  # next pair clean
+        perm = jnp.arange(N, dtype=jnp.int32)
+        perm = perm.at[k].set(jnp.where(swap, rr, k))
+        perm = perm.at[rr].set(jnp.where(swap, k, rr))
+        return order[perm]
+
+    return one_pass(one_pass(order))
 
 
 def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
@@ -1145,6 +1156,29 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     # own designed-for extreme-size-ratio scene — 10.1 vs 4.6 ms on a
     # 10x-size-spread c3 variant, round 3 — and was deleted.)
 
+    lit_ = light_volumes is not None and r.light_steps > 0
+    center_ = lit_ and r.light_mode == "center"
+    pair_on = False
+    if r.warp_pair:
+        # zero-silent-anything: warp_pair=1 outside the pairing envelope
+        # (unfused, streamed banks, per-step lit, odd N, march_rect > 96)
+        # must not silently run unpaired — warn at trace time and count
+        # it in the frame stats.
+        from volq.render.kernel import pair_enabled, stack_bank_resident
+        pair_on = (r.warp_pallas and r.warp_fused and pair_enabled(
+            cfg, N, slab_banks is not None, lit_, center_,
+            resident=stack_bank_resident(slab_banks, lit_,
+                                         center=center_)))
+        stats = dict(stats, pair_inactive=jnp.int32(0 if pair_on else 1))
+        if not pair_on:
+            import warnings
+            warnings.warn(
+                "warp_pair=1 requested but pairing is outside its "
+                "envelope for this scene (requires the fused Pallas "
+                "kernel, VMEM-resident slab banks, center/unlit "
+                "lighting, an even particle count, and march_rect <= "
+                "96) — rendering unpaired", stacklevel=2)
+
     z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
     order = jnp.argsort(z, stable=True).astype(jnp.int32)
     C = N
@@ -1164,7 +1198,6 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         # equal vol_idx share ONE slab-stack DMA (the kernel's block
         # index map refetches only on change) — the composite still runs
         # in depth order via its ``order`` prefetch.
-        lit_ = light_volumes is not None and r.light_steps > 0
         march_vol_sort = (slab_banks is not None
                           and not stack_bank_resident(
                               slab_banks, lit_,
@@ -1181,12 +1214,7 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         # Inputs are gathered into depth order host-side (small arrays);
         # vol-idx sorting doesn't apply (the composite fixes the order),
         # so shared streamed banks rely on DMA/compute overlap instead.
-        from volq.render.kernel import pair_enabled
-        if pair_enabled(cfg, N, slab_banks is not None, lit_,
-                        lit_ and r.light_mode == "center",
-                        resident=stack_bank_resident(
-                            slab_banks, lit_,
-                            center=lit_ and r.light_mode == "center")):
+        if pair_on:
             # pair-aware composite reorder: bit-exact (only disjoint
             # windows commute), cuts the paired kernel's deferred-fetch
             # stalls; flags below are recomputed on the swapped order
