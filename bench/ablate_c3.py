@@ -16,8 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ["", "weights", "dot1", "dot2", "fan", "up", "comp", "gxy",
-         "march"]
+MODES = ["", "weights", "dot1", "dot2", "fan", "up", "comp", "windma",
+         "gxy", "march"]
 
 
 def main():

@@ -1,0 +1,165 @@
+"""Per-resource roofline for the fused warp kernel (VERDICT r3 item 8):
+an analytic traffic/FLOP model of one frame, divided by measured chip
+calibrations, so "is it actually fast" has a denominator.
+
+    python bench/roofline.py c3 c4          # model + floors (host-only)
+    python bench/roofline.py --calibrate    # re-measure MXU/HBM on device
+    python bench/roofline.py c3 --measure   # also time the real frame
+
+The model counts what the kernel actually moves/computes (same formulas
+as the block specs in render/kernel.py):
+  * slab DMA: per particle one [S, VX, V] pre-lerped stack (resident
+    banks stream it ONCE total; c4's density bank is resident);
+  * window DMA: per particle the A half [4, WH, WWA] fetch + write-back
+    and, for the measured wide fraction, the B half;
+  * MXU: per grid step dot1 [MR, 2V]x[2V, MR-ish] hat contraction and
+    the merged dot2 [MR, U*VX] x [U*VX, MR] (paired shapes when PAIR);
+  * canvas: zero-init + finish pass over [4, Hc, Wc].
+
+Calibrations (measured on this chip, fetch-synced — see
+docs/DESIGN.md §6 for why block_until_ready cannot time):
+  MXU bf16 127 TFLOPs (8192^3 matmul), HBM ~600 GB/s sustained copy.
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--calibrate" not in sys.argv and "--measure" not in sys.argv:
+    # model-only mode never touches a device; don't let a down TPU
+    # relay hang the host-side math (sitecustomize pins axon)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+MXU_TFLOPS = 127.0          # measured: 8192^3 bf16 matmul, fetch-synced
+HBM_GBPS = 600.0            # measured: large device-to-device copy
+
+
+def calibrate():
+    import time
+    import jax
+    import jax.numpy as jnp
+    from volq.engine.loop import _sync
+
+    n = 8192
+    a = jnp.zeros((n, n), jnp.bfloat16)
+    b = jnp.zeros((n, n), jnp.bfloat16)
+    mm = jax.jit(lambda a, b: a @ b)
+    c = mm(a, b)
+    _sync(c)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        c = mm(a, c)
+    _sync(c)
+    dt = (time.perf_counter() - t0) / 8
+    tflops = 2 * n ** 3 / dt / 1e12
+
+    big = jnp.zeros((256, 1024, 1024), jnp.bfloat16)   # 512 MB
+    cp = jax.jit(lambda x: x + 1)
+    y = cp(big)
+    _sync(y)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        y = cp(y)
+    _sync(y)
+    dt = (time.perf_counter() - t0) / 8
+    gbps = 2 * big.size * 2 / dt / 1e9                 # read + write
+    print(json.dumps({"mxu_tflops": round(tflops, 1),
+                      "hbm_gbps": round(gbps, 1)}))
+
+
+def model(name):
+    from volq.scene.config import PRESETS
+    from volq.render.warp import march_rect, slab_vx_eff
+    from volq.render.kernel import (pair_enabled, stack_bank_resident,
+                                    _canvas_dims, win_split)
+
+    cfg = PRESETS[name]()
+    r = cfg.render
+    N = cfg.n_particles
+    V = cfg.volume.size
+    M = cfg.volume.bank_size
+    S = r.steps
+    RM = march_rect(cfg)
+    RP = r.warp_rect
+    VX = slab_vx_eff(cfg, V)
+    lit = r.light_steps > 0
+    center = lit and r.light_mode == "center"
+    itm = 4 if r.warp_fp32 else 2
+    cit = 4 if r.warp_canvas_fp32 else 2
+
+    dens_bytes = M * S * VX * V * itm
+    resident = stack_bank_resident(
+        (__import__("numpy").zeros((M, S, VX, V),
+                                   "float32" if itm == 4 else "float16"),
+         None), lit, center)
+    pair = pair_enabled(cfg, N, True, lit, center, resident)
+    PW = 2 if pair else 1
+    MR = PW * RM
+
+    # ---- HBM traffic (bytes/frame) ------------------------------------
+    slab = dens_bytes if resident else N * S * VX * V * itm
+    if lit:
+        slab += (N * VX * V * itm if center and not resident else
+                 (dens_bytes if resident else N * S * VX * V * itm))
+    WH, WW, Hc, Wc = _canvas_dims(cfg, r.height, fused=True)
+    WWA = win_split(RP, WW)
+    WWB = WW - WWA
+    wide_frac = min(max((128 - (WWA - RP)) / 128.0, 0.0), 1.0) if WWB \
+        else 0.0
+    win = N * 4 * WH * (WWA + wide_frac * WWB) * cit * 2   # fetch + wb
+    canvas = 4 * Hc * Wc * cit * 3           # zero + finish read/write
+    out_img = r.height * r.width * 4 * 4
+
+    # ---- MXU FLOPs (per frame) ----------------------------------------
+    # dot1 per unrolled step: [MR, PW*V] x [PW*V, VX]-shaped hat
+    # contraction; merged dot2: [MR, U*VX] x [U*VX, MR]
+    dot1 = N // PW * S * 2 * MR * (PW * V) * VX
+    dot2 = N // PW * S * 2 * MR * VX * MR
+    place = N * 4 * (WH * RM * RM + WH * RM *
+                     (WWA + wide_frac * WWB)) * 2  # Uy/Ux placement
+    flops = dot1 + dot2 + place
+
+    t_mxu = flops / (MXU_TFLOPS * 1e12)
+    t_hbm = (slab + win + canvas + out_img) / (HBM_GBPS * 1e9)
+    fixed = (N // PW) * (S // max(1, S)) * 0  # per-grid fixed in stalls
+    return {
+        "config": name, "paired": bool(pair), "resident_bank": resident,
+        "bytes": {"slab": slab, "window": win, "canvas": canvas,
+                  "total": slab + win + canvas + out_img},
+        "flops_T": round(flops / 1e12, 3),
+        "floor_ms": {"mxu": round(t_mxu * 1e3, 2),
+                     "hbm": round(t_hbm * 1e3, 2),
+                     "max": round(max(t_mxu, t_hbm) * 1e3, 2)},
+        "wide_frac": round(wide_frac, 3),
+        "window_dims": [WH, WWA, WWB],
+    }
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    if "--calibrate" in args:
+        calibrate()
+        return
+    names = [a for a in args if not a.startswith("--")] or ["c3", "c4"]
+    out = []
+    for n in names:
+        rec = model(n)
+        if "--measure" in args:
+            from volq.engine.loop import time_frames
+            from volq.scene.config import PRESETS
+            dt, _ = time_frames(PRESETS[n](), 24, fb=6, windows=3)
+            rec["measured_ms"] = round(dt * 1e3, 2)
+            rec["x_of_floor"] = round(dt * 1e3
+                                      / max(rec["floor_ms"]["max"], 1e-9),
+                                      2)
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "out", "roofline.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,7 @@ from volq.scene.config import SceneConfig
 _EPS = 1e-6
 
 # perf-triage switch, NOT a user feature:
-# VOLQ_ABLATE=weights|dot1|dot2|fan|up|comp removes one class of
+# VOLQ_ABLATE=weights|dot1|dot2|fan|up|comp|windma removes one class of
 # in-kernel work so A/B timing can attribute the march cost (results
 # are wrong images; never set outside experiments).  Read once at
 # import; bench/ablate_c3.py monkeypatches the module global instead.
@@ -398,6 +398,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 q's ISSUE POINT moves to the epilogue when it overlaps
                 its own pair partner (ov[k]==1), which also makes its
                 overlap wait see p's just-started write-back."""
+                if _ABLATE == "windma":   # skip ALL window DMAs (the
+                    return                # pure window-traffic bound)
                 @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
                 def _wait_reuse():
                     coutA_desc(k, bb).wait()
@@ -1183,15 +1185,20 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     def _deferred_fetch():
                         fetch_seq(k_, b_)
 
-                cinA_desc(k_, b_).wait()
+                if _ABLATE != "windma":
+                    cinA_desc(k_, b_).wait()
                 rmw(0, WWA, xplace(0, WWA))
-                coutA_desc(k_, b_).start()
+                if _ABLATE != "windma":
+                    coutA_desc(k_, b_).start()
 
                 if WWB:
                     # rare wide particles touch columns >= WWA: fetch,
                     # RMW and write back the B half SYNCHRONOUSLY
                     @pl.when(wide_ref[k_] == 1)
                     def _b_half():
+                        if _ABLATE == "windma":   # keep the compute,
+                            rmw(WWA, WWB, xplace(WWA, WWB))  # skip DMAs
+                            return
                         cinB_desc(k_, b_).start()
                         placed_b = xplace(WWA, WWB)
                         cinB_desc(k_, b_).wait()
@@ -1371,7 +1378,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else:
                 for i_ in range(PW):
                     _write_one(i_)
-            if fused:
+            if fused and _ABLATE != "windma":
                 if PAIR:
                     @pl.when(n == N2 - 1)
                     def _drain_q():

@@ -1222,6 +1222,13 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         parts_o = jax.tree.map(lambda a: a[order], particles)
         geom_o = {k: v[order] for k, v in geom.items()}
         comp = _fused_comp_offsets(geom_o, cfg, y_start, h_local)
+        # pipeline observability: adjacent-window overlaps serialize the
+        # double-buffered canvas protocol (win_hazard); the odd-position
+        # subset are pair-internal overlaps, whose member defers its
+        # fetch to the epilogue in paired mode (pair_defer)
+        stats = dict(stats, win_hazard=jnp.sum(comp["ov"]))
+        if pair_on:
+            stats["pair_defer"] = jnp.sum(comp["ov"][1::2])
         canvas, sc = march_warp_pallas(
             parts_o, volumes, camera, light, cfg, geom_o,
             light_volumes=light_volumes, slab_banks=slab_banks,
