@@ -719,3 +719,124 @@ def test_warp_pair_outside_envelope_warns_and_counts(tiny_cfg):
         _, stats = render_only(state, camera, light, cfg_ok)
     assert int(stats["pair_inactive"]) == 0
     assert not any("warp_pair" in str(x.message) for x in w)
+
+
+@pytest.mark.slow
+def test_warp_interleave_matches_oracle(tiny_cfg, tiny_lit_cfg):
+    """warp_interleave stores the canvas channel-interleaved
+    ([Hc, 4*Wc] lanes) so window alignment slop is paid once, not per
+    channel.  Pure layout + one association change (the per-channel
+    scalar coefficients fold into the x placement weights): fp32 holds
+    the strict budget, bf16 a few ulps."""
+    cases = [
+        (_warpify(tiny_cfg, warp_pallas=True, warp_interleave=1), 2e-5),
+        (_warpify(tiny_cfg, warp_pallas=True, warp_interleave=1,
+                  warp_march_rect=32), 2e-5),
+        (dataclasses.replace(
+            _warpify(tiny_lit_cfg, warp_pallas=True, warp_interleave=1,
+                     warp_fp32=False, warp_canvas_fp32=False),
+            camera=CameraConfig(eye=(0.2, 0.4, -5.0), look_at=(0, 0, 0))),
+         2 * 4.0 / 256.0),
+    ]
+    for cfg, tol in cases:
+        state, camera, light = setup(cfg)
+        lvol = None
+        if cfg.render.light_steps:
+            lvol = np.asarray(bake_light_volumes(
+                state.volumes, jnp.asarray(light.direction),
+                axis=dominant_axis(cfg.light.direction)))
+        d, img, _ = _diff(cfg, state, camera, light, light_volumes=lvol)
+        assert img[..., 3].max() > 0.05
+        assert d < tol, f"interleave: max diff {d}"
+
+
+@pytest.mark.slow
+def test_warp_coarse_matches_oracle(tiny_cfg, tiny_lit_cfg):
+    """warp_coarse composites at MARCH-CELL resolution with one
+    bilinear cell->pixel upsample per frame; the oracle mirrors the
+    fractional hat placement, the canvas rounding, and the finish
+    upsample exactly."""
+    cases = [
+        # unlit fp32 — strict budget
+        (_warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                  warp_coarse=1), 2e-5),
+        # + interleave
+        (_warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                  warp_coarse=1, warp_interleave=1), 2e-5),
+    ]
+    # center-lit bf16 storage (the c4/c5 production combination)
+    lit = _warpify(tiny_lit_cfg, warp_pallas=True, warp_march_rect=32,
+                   warp_coarse=1, warp_interleave=1, warp_fp32=False,
+                   warp_canvas_fp32=False, light_mode="center")
+    cases.append((lit, 2 * 4.0 / 256.0))
+    # yawed camera: the packed ROW fan + coarse placement together
+    yaw = dataclasses.replace(
+        _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                 warp_coarse=1, warp_interleave=1),
+        camera=CameraConfig(eye=(2.2, 0.6, -4.4),
+                            look_at=(0.2, 0.0, 0.0)))
+    cases.append((yaw, 2e-5))
+    # per-step lit coarse: the factored (P1, P2) composite path
+    per_step = _warpify(tiny_lit_cfg, warp_pallas=True,
+                        warp_march_rect=32, warp_coarse=1)
+    cases.append((per_step, 2e-5))
+    for cfg, tol in cases:
+        state, camera, light = setup(cfg)
+        lvol = None
+        if cfg.render.light_steps:
+            lvol = np.asarray(bake_light_volumes(
+                state.volumes, jnp.asarray(light.direction),
+                axis=dominant_axis(cfg.light.direction)))
+        d, img, _ = _diff(cfg, state, camera, light, light_volumes=lvol)
+        assert img[..., 3].max() > 0.05
+        assert d < tol, f"coarse ({cfg.render.light_steps=}, " \
+                        f"{cfg.render.light_mode=}): max diff {d}"
+
+
+@pytest.mark.slow
+def test_warp_coarse_pair_matches_unpaired(tiny_cfg):
+    """Pairing composes with the coarse+interleaved canvas: same
+    few-ulp bound as the plain pair test (interpret-mode CPU dots
+    regroup sums; bit-exact on the real MXU)."""
+    cfg = _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                   warp_coarse=1, warp_interleave=1)
+    cfg_pair = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, warp_pair=1))
+    state, camera, light = setup(cfg)
+    a, _ = render_only(state, camera, light, cfg)
+    b, _ = render_only(state, camera, light, cfg_pair)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    assert a[..., 3].max() > 0.05
+    d = np.abs(a - b).max()
+    assert d < 2e-5, f"coarse paired vs unpaired: max diff {d}"
+
+
+def test_warp_coarse_psnr_vs_fullres(tiny_cfg):
+    """Coarse compositing is a PSNR-gated approximation of full-res
+    compositing (like march-resolution decoupling itself): the two
+    renders must stay visually close on the tiny scene."""
+    full = _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32)
+    co = _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                  warp_coarse=1, warp_interleave=1)
+    state, camera, light = setup(full)
+    a, _ = render_only(state, camera, light, full)
+    b, _ = render_only(state, camera, light, co)
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    p = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert p > 35.0, f"coarse PSNR {p:.1f} dB vs full-res composite"
+
+
+def test_coarse_config_validation():
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fused Pallas"):
+        RenderConfig(engine="warp", warp_coarse=1, warp_march_rect=32,
+                     warp_rect=48, warp_pallas=False) and None
+        SceneConfig(render=RenderConfig(
+            engine="warp", warp_coarse=1, warp_march_rect=32,
+            warp_rect=48, warp_pallas=False))
+    with _pt.raises(ValueError, match="march-resolution"):
+        SceneConfig(render=RenderConfig(
+            engine="warp", warp_coarse=1, warp_rect=48,
+            warp_pallas=True))

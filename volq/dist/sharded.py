@@ -193,9 +193,10 @@ def sharded_frame_fn(cfg: SceneConfig, mesh, n_frames_per_call: int = 1):
             # padded canvas at c5 (132.7 vs 177.4 MB fp32), cutting both
             # the per-chip ICI bytes (exactly one canvas/frame rides the
             # wire, bench/combine_model.py) and the OVER arithmetic.
-            RP = r.warp_rect
+            from volq.render.kernel import canvas_geom
+            g = canvas_geom(cfg, r.height)
             canvas = jax.lax.dynamic_slice(
-                canvas, (0, RP, RP), (4, r.height, r.width))
+                canvas, (0, g.pad, g.pad), (4, g.hc_img, g.wc_img))
             tiles = _binary_swap(canvas, idx, n_shards)
         else:
             tile_start = idx * tiles_local

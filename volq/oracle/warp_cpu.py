@@ -188,8 +188,22 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     z = np.where(valid, vz, np.inf)
     order = np.argsort(z, kind="stable")
 
-    C = np.zeros((h_local, W, 3), np.float64)
-    T = np.ones((h_local, W), np.float64)
+    # coarse canvas mode (warp_coarse): composite at MARCH-CELL
+    # resolution, one bilinear cell->pixel upsample at the end —
+    # mirror of the fused kernel's coarse placement + the device
+    # _canvas_finish (render/warp.py)
+    coarse = bool(r.warp_coarse)
+    if coarse:
+        from volq.render.kernel import canvas_geom
+        g = canvas_geom(cfg, h_local)
+        ratio_c = f32(g.ratio)
+        hcT = g.pad + g.hc_img + g.pad + 2
+        wcT = g.pad + g.wc_img + g.pad + 2
+        C = np.zeros((3, hcT, wcT), np.float64)
+        T = np.ones((hcT, wcT), np.float64)
+    else:
+        C = np.zeros((h_local, W, 3), np.float64)
+        T = np.ones((h_local, W), np.float64)
 
     for pi in order:
         if not valid[pi]:
@@ -265,6 +279,11 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         Tp = np.ones((RM_pi, RM_pi), np.float64)
         od = np.zeros((RM_pi, RM_pi), np.float64)
         tau_mid = np.zeros((RM_pi, RM_pi), np.float64)
+        # coarse per-step-lit mode composites from the factored (P1, P2)
+        # planes (P1 = sum T*alpha*atten; P2 = 1 - T by telescoping) —
+        # forward and backward accumulations mirror Cf/Cb
+        p1f = np.zeros((RM_pi, RM_pi), np.float64)
+        p1b = np.zeros((RM_pi, RM_pi), np.float64)
         for s in range(S):
             zeta = f32((s + 0.5) / S)
             gz = zeta * gsc
@@ -311,6 +330,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             a3 = alpha[None]
             Cf = Cf + (Tp * alpha)[None] * col
             Cb = a3 * col + (1.0 - a3) * Cb
+            if coarse and lvol is not None and not centr:
+                att = atten[0] if isinstance(atten, np.ndarray) else atten
+                p1f = p1f + (Tp * alpha) * att
+                p1b = alpha * att + (1.0 - alpha) * p1b
             Tp = Tp * (1.0 - alpha)
             if lvol is None or centr:
                 od = od + np.where(inb, sig, 0.0)
@@ -330,6 +353,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             planes = np.stack([od * scale * dt,
                                (scale * float(ext))
                                * np.maximum(tau_mid, 0.0)])
+        elif coarse:
+            # per-step lit, coarse: the factored (P1, P2) planes (the
+            # device kernel's representation in every fused mode)
+            planes = np.stack([p1f if szn[pi] >= 0 else p1b, 1.0 - Tp])
         else:
             planes = np.concatenate([Cp, Tp[None]], axis=0)  # [4,RM,RM]
         if quant:
@@ -364,6 +391,54 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             P2m = 1.0 - np.exp(-planes[0])
             P1m = np.exp(-planes[1]) * P2m  # per-ray mid-depth atten
             planes = np.stack([P1m, P2m])
+
+        if coarse:
+            # ---- coarse placement: 2-tap hat placement of the (P1,
+            # P2) planes at the FRACTIONAL cell position (ay, ax), then
+            # OVER onto the march-cell canvas — mirror of the fused
+            # kernel's coarse epilogue (render/kernel.py xplace/rmw).
+            # The support is RM+1 cells per axis (the hat tent extends
+            # a fraction past each end); outside it the placed planes
+            # are exactly 0 = the OVER identity.
+            pl_ = _q16(planes) if quant else planes
+            ay = f32(g.pad) + (f32(sy0[pi]) - f32(y_start)) * ratio_c
+            ax = f32(g.pad) + f32(sx0[pi]) * ratio_c
+            cy0, cx0 = int(np.floor(ay)), int(np.floor(ax))
+            sup = RM_pi + 1
+            jv_ = np.arange(sup, dtype=np.float32)
+            mv_ = np.arange(RM_pi, dtype=np.float32)
+            Uy = np.maximum(
+                0.0, 1.0 - np.abs((jv_[:, None] - f32(ay - cy0))
+                                  - mv_[None, :]))        # [sup, RM]
+            Ux = np.maximum(
+                0.0, 1.0 - np.abs((jv_[:, None] - f32(ax - cx0))
+                                  - mv_[None, :]))        # [sup, RM]
+            if quant:
+                Uy, Ux = _q16(Uy), _q16(Ux)
+            t_ = np.einsum("jm,pmk->pjk", f64(Uy), f64(pl_))
+            if quant:
+                t_ = _q16(t_)
+            placed = np.einsum("pjk,ik->pji", t_, f64(Ux))
+            P2p = placed[-1]
+            P1p = placed[0]
+            if unlit:
+                c1v = albedo[pi] * (l_col + l_amb)   # single-coef form
+                c2v = np.zeros(3)
+            else:
+                c1v = albedo[pi] * l_col
+                c2v = albedo[pi] * l_amb
+            Tw = T[cy0:cy0 + sup, cx0:cx0 + sup]
+            T1 = Tw * P1p
+            T2 = Tw * P2p
+            upd = c1v[:, None, None] * T1 + c2v[:, None, None] * T2
+            Cn = C[:, cy0:cy0 + sup, cx0:cx0 + sup] + upd
+            Tn = Tw - T2
+            if not r.warp_canvas_fp32:
+                Cn = _q16(Cn)
+                Tn = _q16(Tn)
+            C[:, cy0:cy0 + sup, cx0:cx0 + sup] = Cn
+            T[cy0:cy0 + sup, cx0:cx0 + sup] = Tn
+            continue
 
         # ---- hat-upsample march grid -> rect (mirror of the kernel
         # epilogue, same quantization points in quant mode) ------------
@@ -415,6 +490,25 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
         T[fy0:fy1, fx0:fx1] = Tn
 
     bg = np.asarray(r.background, np.float64)
+    if coarse:
+        # mirror of render/warp._canvas_finish's coarse path: crop the
+        # cell canvas to the image extent and bilinear-upsample to
+        # pixels (weight positions computed in f32 like the device)
+        Cc = C[:, g.pad:g.pad + g.hc_img, g.pad:g.pad + g.wc_img]
+        Tc = T[g.pad:g.pad + g.hc_img, g.pad:g.pad + g.wc_img]
+
+        def up_w(P, Cn):
+            pos = (np.arange(P, dtype=np.float32)[:, None]
+                   * ratio_c)
+            cc_ = np.arange(Cn, dtype=np.float32)[None, :]
+            return np.maximum(0.0, 1.0 - np.abs(pos - cc_))
+
+        Fy = f64(up_w(h_local, g.hc_img))
+        Fx = f64(up_w(W, g.wc_img))
+        Ci = np.einsum("ph,khw,qw->pqk", Fy, Cc, Fx)
+        Ti = np.einsum("ph,hw,qw->pq", Fy, Tc, Fx)
+        return np.concatenate([Ci + Ti[..., None] * bg,
+                               (1.0 - Ti)[..., None]], axis=-1)
     return np.concatenate([C + T[..., None] * bg, (1.0 - T)[..., None]],
                           axis=-1)
 

@@ -63,6 +63,10 @@ if _ABLATE:
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
 _G_ALB_R, _G_ALB_G, _G_ALB_B, _G_SX0, _G_SY0, _G_PXC, _G_PYC = range(7, 14)
+# fused only: the particle's canvas placement position (pad + s0*ratio,
+# fractional in coarse mode) — computed ONCE host-side
+# (warp._window_corners) so kernel and host can never disagree
+_G_AYF, _G_AXF = 14, 15
 _GF = 16
 
 
@@ -195,6 +199,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     geomf = geomf.at[:, _G_SY0].set(geom["sy0"].astype(jnp.float32))
     geomf = geomf.at[:, _G_PXC].set(geom["px_c"])
     geomf = geomf.at[:, _G_PYC].set(geom["py_c"])
+    if fused:
+        geomf = geomf.at[:, _G_AYF].set(comp["ayf"])
+        geomf = geomf.at[:, _G_AXF].set(comp["axf"])
 
     # camera + light constants, replicated [1, 16] SMEM blocks
     camf = jnp.stack([
@@ -300,16 +307,20 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         return jnp.where(flipped == 1, S - 1 - s_raw, s_raw)
 
     if fused:
-        WH, WW = comp["WH"], comp["WW"]
-        # The window splits into an ALWAYS-copied A half and a
-        # CONDITIONAL B half: a particle's rect only reaches columns
-        # >= WWA when dx + RP > WWA (the prefetched ``wide`` flag), so
-        # most particles skip the B half's canvas DMAs, placement
-        # matmul, and RMW entirely (Mosaic requires 128-aligned lane
-        # slice shapes, so the split point is a 128-multiple, not
-        # dx + RP).
-        WWA = win_split(RP, WW)
+        # canvas geometry (canvas_geom): window dims in ARRAY units,
+        # coarse (march-cell canvas) and ilv (channel-interleaved lanes)
+        # layout flags.  The window splits into an ALWAYS-copied A half
+        # and a CONDITIONAL B half: a particle's placement only reaches
+        # columns >= WWA for large sub-granule offsets (the prefetched
+        # ``wide`` flag), so most particles skip the B half's canvas
+        # DMAs, placement matmul, and RMW entirely (Mosaic requires
+        # 128-aligned lane slice shapes, so the split point is a
+        # 128-multiple).
+        cg = comp["cg"]
+        WH, WW, WWA = cg.WH, cg.WW, cg.WWA
         WWB = WW - WWA
+        ILV = bool(cg.ilv)
+        COARSE = bool(cg.coarse)
         cdt = canvas.dtype
 
     def kernel(vidx_ref, flip_ref, vld_ref, *rest):
@@ -375,18 +386,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 return (pl.multiple_of(oy_ref[k], 8),
                         pl.multiple_of(ox_ref[k], 128))
 
+            def _win_slice(bb, off, wwn):
+                return (win.at[bb, :, pl.ds(off, wwn)] if ILV
+                        else win.at[bb, :, :, pl.ds(off, wwn)])
+
+            def _canvas_slice(y_, x_, wwn):
+                return (canvas_out.at[pl.ds(y_, WH), pl.ds(x_, wwn)]
+                        if ILV else
+                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, wwn)])
+
             def coutA_desc(k, bb):
                 y_, x_ = win_yx(k)
                 return pltpu.make_async_copy(
-                    win.at[bb, :, :, pl.ds(0, WWA)],
-                    canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, WWA)],
+                    _win_slice(bb, 0, WWA), _canvas_slice(y_, x_, WWA),
                     sem_out.at[bb])
 
             def cinA_desc(k, bb):
                 y_, x_ = win_yx(k)
                 return pltpu.make_async_copy(
-                    canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, WWA)],
-                    win.at[bb, :, :, pl.ds(0, WWA)], sem_in.at[bb])
+                    _canvas_slice(y_, x_, WWA), _win_slice(bb, 0, WWA),
+                    sem_in.at[bb])
 
             def fetch_seq(k, bb):
                 """The per-particle window-fetch protocol (identical to
@@ -419,16 +438,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     y_, x_ = win_yx(k)
                     xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        win.at[bb, :, :, pl.ds(WWA, WWB)],
-                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(xb_, WWB)],
-                        semB_out)
+                        _win_slice(bb, WWA, WWB),
+                        _canvas_slice(y_, xb_, WWB), semB_out)
 
                 def cinB_desc(k, bb):
                     y_, x_ = win_yx(k)
                     xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(xb_, WWB)],
-                        win.at[bb, :, :, pl.ds(WWA, WWB)], semB_in)
+                        _canvas_slice(y_, xb_, WWB),
+                        _win_slice(bb, WWA, WWB), semB_in)
 
         def pread(i_):
             """Per-particle scalars + ray vectors (pair member i_; the
@@ -1058,16 +1076,27 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if fused:
                 ratio_m = float(np.float32(RM - 1)
                                 / np.float32(max(RP - 1, 1)))
-                exact = RM == RP
+                exact = RM == RP and not COARSE
                 pdt = jnp.float32 if exact else wdt
                 pprec = jax.lax.Precision.HIGHEST if exact else prec
-                dyf = dy_ref[k_].astype(jnp.float32)
-                dxf = dx_ref[k_].astype(jnp.float32)
+                # placement position: dyf/dxu = the particle's
+                # (fractional in coarse mode) placement origin minus the
+                # window corner, in canvas y/x units (_G_AYF/_G_AXF are
+                # host-computed, the corners are the prefetched refs)
+                dyf = gf[i_, 0, _G_AYF] - oy_ref[k_].astype(jnp.float32)
+                dxu = gf[i_, 0, _G_AXF] \
+                    - ox_ref[k_].astype(jnp.float32) * (1.0 / cg.e)
                 iww = jax.lax.broadcasted_iota(
                     jnp.int32, (WH, 1), 0).astype(jnp.float32)
-                posy = iww - dyf                      # rect row index
-                gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
-                                posy * ratio_m, -2.0)        # [WH, 1]
+                posy = iww - dyf            # rect row / cell offset
+                if COARSE:
+                    # canvas cells ARE march cells: identity mapping,
+                    # and the fractional hat tent IS the support (no
+                    # outside-rect mask — hat() is zero past it)
+                    gyp = posy
+                else:
+                    gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
+                                    posy * ratio_m, -2.0)    # [WH, 1]
                 m_i = jax.lax.broadcasted_iota(
                     jnp.int32, (WH, RM), 1).astype(jnp.float32)
                 Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
@@ -1082,26 +1111,87 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         precision=pprec).astype(pdt)
                         for p in planes_m]                   # [WH, RM]
 
+                def _hat_x(off, wwn):
+                    """x placement hat matrix [RM, wwn] (+ the lane
+                    channel phase [1, wwn] in ILV mode)."""
+                    jwn = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, wwn), 1) + off
+                    if ILV:
+                        # lane l covers canvas cell (ox + l) // 4 and
+                        # channel (ox + l) % 4; ox is 128-aligned so
+                        # the phase is l % 4
+                        ph = jwn - (jwn // 4) * 4
+                        posx = (jwn - ph).astype(jnp.float32) * 0.25 \
+                            - dxu
+                    else:
+                        ph = None
+                        posx = jwn.astype(jnp.float32) - dxu
+                    if COARSE:
+                        gxp = posx
+                    else:
+                        gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
+                                        posx * ratio_m, -2.0)
+                    k_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (RM, wwn), 0).astype(jnp.float32)
+                    return jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)), ph
+
                 def xplace(off, wwn):
-                    """Placed planes for window columns [off, off+wwn)."""
+                    """Placed window-column update for [off, off+wwn):
+                    a list of placed (P1, P2) planes — or, in ILV mode,
+                    the single channel-expanded update matrix U with
+                    win += TW4 * U (TW4 = the window's own T lanes
+                    spread to all 4 channel phases)."""
                     if _ABLATE == "up":    # skip the placement matmuls
                         # (scalar splat keeps the data dependency; 2-D
                         # broadcasts of [1,1] slices don't lower)
-                        return [jnp.zeros((WH, wwn), jnp.float32)
-                                + jnp.sum(p) * 1e-9 for p in planes_m]
-                    jwn = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, wwn), 1).astype(jnp.float32) + off
-                    posx = jwn - dxf
-                    gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
-                                    posx * ratio_m, -2.0)    # [1, wwn]
-                    k_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (RM, wwn), 0).astype(jnp.float32)
-                    Uxp = jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)) \
-                        .astype(pdt)                         # [RM, wwn]
-                    return [jax.lax.dot_general(
-                        t, Uxp, (((1,), (0,)), ((), ())),
+                        zs = [jnp.zeros((WH, wwn), jnp.float32)
+                              + jnp.sum(p) * 1e-9 for p in planes_m]
+                        return zs[0] if ILV else zs
+                    if not ILV:
+                        Uxp, _ = _hat_x(off, wwn)
+                        Uxp = Uxp.astype(pdt)                # [RM, wwn]
+                        return [jax.lax.dot_general(
+                            t, Uxp, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=pprec) for t in t_list]
+                    # ILV: fold the per-channel scalar coefficients into
+                    # the x weights (W[k, 4x+c] = hat * A[c]) so ONE
+                    # matmul produces the interleaved update for all 4
+                    # channels: U[w, l] = sum_k t_cat[w, k] * W[k, l]
+                    #                   = c1[l%4]*P1p + c2[l%4]*P2p
+                    H, ph = _hat_x(off, wwn)                 # [RM, wwn]
+                    phf = ph.astype(jnp.float32)
+                    alb = [gf[i_, 0, _G_ALB_R + ch] for ch in range(3)]
+
+                    def lanevec(c0, c1, c2, c3):
+                        return jnp.where(
+                            phf == 0.0, c0, jnp.where(
+                                phf == 1.0, c1, jnp.where(
+                                    phf == 2.0, c2, c3)))    # [1, wwn]
+                    if one_plane:
+                        # unlit: upd = alb*(lcol+amb) * T2; T -= T2
+                        A = lanevec(
+                            alb[0] * (lightf_r[0, 0] + lightf_r[0, 3]),
+                            alb[1] * (lightf_r[0, 1] + lightf_r[0, 4]),
+                            alb[2] * (lightf_r[0, 2] + lightf_r[0, 5]),
+                            -1.0)
+                        W = (H * A).astype(pdt)
+                        tc = t_list[0]
+                    else:
+                        A1 = lanevec(alb[0] * lightf_r[0, 0],
+                                     alb[1] * lightf_r[0, 1],
+                                     alb[2] * lightf_r[0, 2], 0.0)
+                        A2 = lanevec(alb[0] * lightf_r[0, 3],
+                                     alb[1] * lightf_r[0, 4],
+                                     alb[2] * lightf_r[0, 5], -1.0)
+                        W = jnp.concatenate(
+                            [(H * A1).astype(pdt), (H * A2).astype(pdt)],
+                            axis=0)                          # [2RM, wwn]
+                        tc = jnp.concatenate(t_list, axis=1)  # [WH, 2RM]
+                    return jax.lax.dot_general(
+                        tc, W, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=pprec) for t in t_list]
+                        precision=pprec)                     # [WH, wwn]
 
             if fused:
                 pass   # placement + RMW happen per window half below
@@ -1149,6 +1239,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 def rmw(col0, wwn, placed):
                     """RMW window columns [col0, col0+wwn) of win[b_]."""
                     if _ABLATE == "comp":   # keep DMAs, skip the RMW
+                        return
+                    if ILV:
+                        # placed == U (channel-expanded update):
+                        # win += TW4 * U, where TW4 spreads the window's
+                        # own T lanes (phase 3) to all 4 channel phases
+                        # by three static lane rolls — the adds only
+                        # ever combine one non-zero term per lane, and
+                        # the circular wrap lands on non-matching
+                        # phases (wwn % 4 == 0), so TW4 is exact.
+                        w = win[b_, :, col0:col0 + wwn] \
+                            .astype(jnp.float32)
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (WH, wwn), 1)
+                        m3 = jnp.where(lane - (lane // 4) * 4 == 3,
+                                       w, 0.0)
+                        tw4 = m3
+                        for rr_ in (1, 2, 3):
+                            tw4 = tw4 + pltpu.roll(m3, wwn - rr_, 1)
+                        win[b_, :, col0:col0 + wwn] = \
+                            (w + tw4 * placed).astype(cdt)
                         return
                     P1h, P2h = ((placed[0], placed[0]) if one_plane
                                 else placed)
@@ -1502,7 +1612,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     ]
 
     if fused:
-        Hc, Wc = comp["Hc"], comp["Wc"]
+        Hc, Wc = cg.Hc, cg.Wc
+        win_shape = (2, WH, WW) if ILV else (2, 4, WH, WW)
+        cshape = (Hc, Wc) if ILV else (4, Hc, Wc)
+        assert canvas.shape == cshape, (canvas.shape, cshape)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(N2, SG),
@@ -1513,7 +1626,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                              memory_space=pltpu.SMEM),
             ],
             scratch_shapes=scratch + [
-                pltpu.VMEM((2, 4, WH, WW), canvas.dtype),    # win x2
+                pltpu.VMEM(win_shape, canvas.dtype),         # win x2
                 pltpu.SemaphoreType.DMA((2,)),               # A in
                 pltpu.SemaphoreType.DMA((2,)),               # A out
                 pltpu.SemaphoreType.DMA(()),                 # B in
@@ -1525,7 +1638,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         canvas_out, clamp = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((4, Hc, Wc), canvas.dtype),
+            out_shape=[jax.ShapeDtypeStruct(cshape, canvas.dtype),
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)],
             input_output_aliases={alias_idx: 0},
             interpret=_interpret(),
@@ -1567,7 +1680,86 @@ def win_split(RP: int, WW: int) -> int:
     return min(WW, -(-(RP + 64) // 128) * 128)
 
 
+class CanvasGeom(tuple):
+    """Canvas + fused-window geometry in CANVAS-ARRAY units, shared by
+    the kernel, the host-side offset computation, the oracle and the
+    canvas finish.  Two orthogonal layout options (scene/config.py):
+
+    * ``coarse`` (warp_coarse): the canvas x/y axes are MARCH CELLS of
+      ``1/ratio`` pixels ((RP-1)/(RM-1) px, the march grid's spacing)
+      instead of pixels.  A particle's march plane lands at the
+      FRACTIONAL cell position a = pad + s*ratio (s = its rect origin
+      in px), placed by 2-tap hat weights — the same matmul placement
+      as the full-res path with ratio_m = 1 — and one bilinear
+      cell->pixel upsample runs per frame in _canvas_finish.
+    * ``ilv`` (warp_interleave): the x axis is CHANNEL-INTERLEAVED —
+      the canvas is 2-D [Hc, Wc] with lane 4*x + c — so the 128-lane
+      window alignment slop is paid once, not once per channel plane.
+
+    Fields (array units: lanes on x when ilv, else cells/px):
+      WH, WW     window rows / x-extent;  WWA  always-copied A half
+      Hc, Wc     canvas array dims ([4, Hc, Wc] planes or [Hc, Wc] ilv)
+      pad        content origin offset (cells if coarse else px)
+      hc_img, wc_img   image extent in cells/px (pre-pad)
+      cu         placement content extent: RM (coarse) or RP
+      sup        placement support in x-units: cu + 1 when coarse
+                 (fractional hat tent), else cu
+      e          array elems per x-unit: 4 if ilv else 1
+      gx         window x-offset granularity in x-units (128 // e)
+      ratio      march cells per pixel as float (f32-exact), 1.0 unless
+                 coarse
+    """
+    __slots__ = ()
+    _fields = ("WH", "WW", "WWA", "Hc", "Wc", "pad", "hc_img", "wc_img",
+               "cu", "sup", "e", "gx", "ratio", "coarse", "ilv")
+
+    def __new__(cls, *a):
+        return tuple.__new__(cls, a)
+
+    def __getattr__(self, name):
+        try:
+            return self[self._fields.index(name)]
+        except ValueError:
+            raise AttributeError(name)
+
+
+def canvas_geom(cfg: SceneConfig, h_local) -> CanvasGeom:
+    """Geometry of the FUSED path's canvas (see CanvasGeom)."""
+    r = cfg.render
+    from volq.render.warp import march_rect
+    RP = r.warp_rect
+    RM = march_rect(cfg)
+    coarse = bool(r.warp_coarse)
+    ilv = bool(r.warp_interleave)
+    if coarse:
+        ratio = float(np.float32(RM - 1) / np.float32(RP - 1))
+        cu, sup = RM, RM + 1
+        hc_img = int(np.ceil((h_local - 1) * ratio)) + 1
+        wc_img = int(np.ceil((r.width - 1) * ratio)) + 1
+        pad = RM                  # covers off-screen rect origins:
+        #                           |s0|*ratio <= (RP-1)*ratio = RM-1
+    else:
+        ratio = 1.0
+        cu = sup = RP
+        hc_img, wc_img = h_local, r.width
+        pad = RP
+    e = 4 if ilv else 1
+    gx = 128 // e
+    WH = -(-(sup + 8) // 8) * 8
+    WW = -(-(e * (gx + sup)) // 128) * 128
+    # A half: smallest 128-multiple covering at least ~half the offset
+    # range; degenerate (= WW) when that already needs the whole window
+    WWA = min(WW, -(-(e * (sup + gx // 2)) // 128) * 128)
+    Hc = hc_img + pad + WH
+    Wc = e * (wc_img + pad) + WW
+    return CanvasGeom(WH, WW, WWA, Hc, Wc, pad, hc_img, wc_img, cu, sup,
+                      e, gx, ratio, coarse, ilv)
+
+
 def _canvas_dims(cfg: SceneConfig, h_local, fused: bool = False):
+    """Legacy pixel-plane canvas dims ([4, Hc, Wc], no coarse/ilv) used
+    by the UNFUSED composite path; the fused path uses canvas_geom.
+    For default-layout configs the two agree exactly."""
     r = cfg.render
     RP = r.warp_rect
     WH = RP + 8                                  # widened window height
@@ -1583,13 +1775,21 @@ def _canvas_dims(cfg: SceneConfig, h_local, fused: bool = False):
 
 
 def canvas_init_pallas(cfg: SceneConfig, h_local, fused: bool = False):
-    """Padded canvas [4, Hc, Wc] (C=0, T=1); bf16 with
-    warp_canvas_fp32=False (halves the RMW DMA traffic; the oracle
-    mirrors the per-step rounding).  ``fused`` must match the composite
-    path that will consume it (the fused kernel's window — and hence
-    canvas — is narrower, see _canvas_dims)."""
+    """Padded canvas (C=0, T=1); bf16 with warp_canvas_fp32=False
+    (halves the RMW DMA traffic; the oracle mirrors the per-step
+    rounding).  ``fused`` must match the composite path that will
+    consume it: the fused kernel uses canvas_geom's layout — [4, Hc, Wc]
+    planes, or 2-D [Hc, Wc] with lane = 4*x + channel when interleaved
+    (T on phase-3 lanes) — the unfused path the legacy pixel planes."""
     cdt = jnp.float32 if cfg.render.warp_canvas_fp32 else jnp.bfloat16
-    _, _, Hc, Wc = _canvas_dims(cfg, h_local, fused)
+    if fused:
+        g = canvas_geom(cfg, h_local)
+        if g.ilv:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g.Hc, g.Wc), 1)
+            return jnp.where(lane % 4 == 3, 1.0, 0.0).astype(cdt)
+        Hc, Wc = g.Hc, g.Wc
+    else:
+        _, _, Hc, Wc = _canvas_dims(cfg, h_local, fused)
     return jnp.concatenate([jnp.zeros((3, Hc, Wc), cdt),
                             jnp.ones((1, Hc, Wc), cdt)], axis=0)
 

@@ -997,20 +997,14 @@ def _pair_swap_order(order, geom, cfg: SceneConfig, y_start, h_local):
     runs TWICE; the second pass sees the updated order and swaps away
     most of that residue.  Measured on c4: pair-internal overlaps
     13.8% -> ~4% after one pass."""
-    from volq.render.kernel import _canvas_dims
-    r = cfg.render
-    RP = r.warp_rect
-    WH, WW, Hc, Wc = _canvas_dims(cfg, h_local, fused=True)
+    from volq.render.kernel import canvas_geom
+    cg = canvas_geom(cfg, h_local)
+    WH, WW = cg.WH, cg.WW
     N = order.shape[0]
 
     def one_pass(order):
-        sy0 = geom["sy0"][order]
-        sx0 = geom["sx0"][order]
-        oy = jnp.clip(sy0 - jnp.asarray(y_start, jnp.int32) + RP,
-                      0, Hc - WH).astype(jnp.int32)
-        ox = jnp.clip(sx0 + RP, 0, Wc - WW).astype(jnp.int32)
-        oy = (oy // 8) * 8
-        ox = (ox // 128) * 128
+        _, _, oy, ox = _window_corners(geom["sy0"][order],
+                                       geom["sx0"][order], cg, y_start)
 
         def ovl(i, j):
             return ((jnp.abs(oy[i] - oy[j]) < WH)
@@ -1032,29 +1026,46 @@ def _pair_swap_order(order, geom, cfg: SceneConfig, y_start, h_local):
     return one_pass(one_pass(order))
 
 
+def _window_corners(sy0, sx0, cg, y_start):
+    """Per-particle canvas placement positions (ayf/axf, fractional in
+    coarse mode) and ALIGNED window corners (oy rows, ox array elems),
+    in canvas-array units.  The ONE computation site — the kernel reads
+    ayf/axf from its geomf SMEM pack, so host and kernel can never
+    disagree on the placement origin."""
+    ratio = jnp.float32(cg.ratio)
+    ayf = jnp.float32(cg.pad) \
+        + (sy0.astype(jnp.float32) - jnp.float32(y_start)) * ratio
+    axf = jnp.float32(cg.pad) + sx0.astype(jnp.float32) * ratio
+    oy = jnp.clip(jnp.floor(ayf).astype(jnp.int32), 0, cg.Hc - cg.WH)
+    oy = (oy // 8) * 8
+    oxu = jnp.clip(jnp.floor(axf).astype(jnp.int32), 0,
+                   (cg.Wc - cg.WW) // cg.e)
+    oxu = (oxu // cg.gx) * cg.gx
+    return ayf, axf, oy, oxu * cg.e
+
+
 def _fused_comp_offsets(geom_o, cfg: SceneConfig, y_start, h_local):
     """Canvas-window offsets + pipeline hazards for the FUSED
     march+composite kernel, computed from DEPTH-ORDERED geometry
-    (mirrors composite_chunk_pallas's host-side setup)."""
-    from volq.render.kernel import _canvas_dims
-    r = cfg.render
-    RP = r.warp_rect
-    WH, WW, Hc, Wc = _canvas_dims(cfg, h_local, fused=True)
-    oy = jnp.clip(geom_o["sy0"] - jnp.asarray(y_start, jnp.int32) + RP,
-                  0, Hc - WH).astype(jnp.int32)
-    ox = jnp.clip(geom_o["sx0"] + RP, 0, Wc - WW).astype(jnp.int32)
-    oy_al = (oy // 8) * 8
-    ox_al = (ox // 128) * 128
-    dx = ox - ox_al
-    ov = ((jnp.abs(oy_al - jnp.roll(oy_al, 1)) < WH)
-          & (jnp.abs(ox_al - jnp.roll(ox_al, 1)) < WW)).astype(jnp.int32)
+    (canvas_geom units: coarse cells / interleaved lanes aware)."""
+    from volq.render.kernel import canvas_geom
+    cg = canvas_geom(cfg, h_local)
+    ayf, axf, oy_al, ox_al = _window_corners(
+        geom_o["sy0"], geom_o["sx0"], cg, y_start)
+    ov = ((jnp.abs(oy_al - jnp.roll(oy_al, 1)) < cg.WH)
+          & (jnp.abs(ox_al - jnp.roll(ox_al, 1)) < cg.WW)) \
+        .astype(jnp.int32)
     ov = ov.at[0].set(0)
-    # the rect reaches past the window's always-copied A half only when
-    # dx + RP > WWA (the kernel's rare synchronous B half)
-    from volq.render.kernel import win_split
-    wide = (dx + RP > win_split(RP, WW)).astype(jnp.int32)
-    return dict(oy=oy_al, ox=ox_al, dy=oy - oy_al, dx=dx, ov=ov,
-                wide=wide, WH=WH, WW=WW, Hc=Hc, Wc=Wc)
+    # the placement reaches past the window's always-copied A half only
+    # for large sub-granule offsets (the kernel's rare synchronous B
+    # half); dxu/sup are in x-units, WWA in array elems
+    dxu = axf - (ox_al // cg.e).astype(jnp.float32)
+    wide = (cg.e * (dxu + cg.sup) > cg.WWA).astype(jnp.int32)
+    dyi = (jnp.floor(ayf).astype(jnp.int32) - oy_al)
+    dxi = (jnp.floor(axf).astype(jnp.int32) - ox_al // cg.e)
+    return dict(oy=oy_al, ox=ox_al, dy=dyi, dx=dxi, ov=ov, wide=wide,
+                ayf=ayf, axf=axf, WH=cg.WH, WW=cg.WW, Hc=cg.Hc,
+                Wc=cg.Wc, cg=cg)
 
 
 def _canvas_init(cfg: SceneConfig, h_local):
@@ -1101,15 +1112,41 @@ def _composite_chunk(canvas, images, geom, cfg: SceneConfig, y_start,
     return jax.lax.fori_loop(0, n, body, (C0, T0))
 
 
+def _coarse_up_weights(P: int, Cn: int, ratio: float):
+    """[P, Cn] bilinear cell->pixel weights, built IN-JIT from iotas
+    (no multi-MB host constants in the HLO): W[p, c] =
+    hat(p * ratio - c).  Mirrored by the oracle with the same f32
+    position arithmetic."""
+    pos = jnp.arange(P, dtype=jnp.float32)[:, None] * jnp.float32(ratio)
+    c = jnp.arange(Cn, dtype=jnp.float32)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - c))
+
+
 def _canvas_finish(C, T, cfg: SceneConfig, h_local, cropped=False):
-    """Crop the padded canvas and compose over the background.
-    Works for both canvas layouts (origin is at (RP, RP) in each).
-    ``cropped``: the input is already the [h_local, width] crop (the
+    """Crop the padded canvas and compose over the background; in
+    coarse mode (warp_coarse) also bilinear-upsample the march-cell
+    canvas to pixels (ONE full-frame pass — the per-particle windows,
+    placement matmuls and RMW all ran ~(RP/RM)^2 smaller for it).
+    ``cropped``: the input is already the image-extent crop (the
     sharded path crops before the binary swap to cut ICI bytes)."""
     r = cfg.render
-    RP = 0 if cropped else r.warp_rect
-    C = C[:, RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
-    T = T[RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
+    if r.engine == "warp" and r.warp_coarse:
+        from volq.render.kernel import canvas_geom
+        g = canvas_geom(cfg, h_local)
+        p0 = 0 if cropped else g.pad
+        C = jax.lax.dynamic_slice(C, (0, p0, p0), (3, g.hc_img, g.wc_img))
+        T = jax.lax.dynamic_slice(T, (p0, p0), (g.hc_img, g.wc_img))
+        X = jnp.concatenate([C, T[None]], 0).astype(jnp.float32)
+        Fy = _coarse_up_weights(h_local, g.hc_img, g.ratio)
+        Fx = _coarse_up_weights(r.width, g.wc_img, g.ratio)
+        hi = jax.lax.Precision.HIGHEST
+        X = jnp.einsum("ph,khw->kpw", Fy, X, precision=hi)
+        X = jnp.einsum("kpw,qw->kpq", X, Fx, precision=hi)
+        C, T = X[:3], X[3]
+    else:
+        RP = 0 if cropped else r.warp_rect
+        C = C[:, RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
+        T = T[RP:RP + h_local, RP:RP + r.width].astype(jnp.float32)
     bg = jnp.asarray(r.background, jnp.float32)[:, None, None]
     rgb = C + T[None] * bg
     return jnp.concatenate([rgb, (1.0 - T)[None]], axis=0) \
@@ -1233,6 +1270,15 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
             parts_o, volumes, camera, light, cfg, geom_o,
             light_volumes=light_volumes, slab_banks=slab_banks,
             canvas=canvas, comp=comp)
+        if comp["cg"].ilv:
+            # de-interleave ONCE per frame ([Hc, 4*Wc] lanes ->
+            # [4, Hc, Wc] planes) so every downstream consumer (finish,
+            # binary swap, tests) sees the standard canvas layout; the
+            # whole-canvas transpose is ~2 orders of magnitude less
+            # traffic than the per-particle window DMAs it buys back
+            g = comp["cg"]
+            canvas = canvas.reshape(g.Hc, g.Wc // 4, 4) \
+                .transpose(2, 0, 1)
         return canvas, dict(stats, shift_clamped=sc)
 
     shift_clamped = jnp.int32(0)

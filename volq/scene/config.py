@@ -143,6 +143,27 @@ class RenderConfig:
                                # light_mode="center"), RM <= 64 and an
                                # even particle count; silently falls
                                # back to unpaired otherwise.  0/1.
+    warp_coarse: int = 0       # warp engine + pallas FUSED path:
+                               # composite the canvas at MARCH resolution
+                               # (cells of (RP-1)/(RM-1) px) instead of
+                               # pixels — per-particle window DMA, the
+                               # placement matmuls and the RMW all shrink
+                               # by ~(RP/RM)^2; one bilinear upsample to
+                               # pixels runs per frame in the canvas
+                               # finish.  Changes the image (OVER runs at
+                               # cell resolution): PSNR-gated like
+                               # march-resolution decoupling, mirrored
+                               # exactly by the oracle.  Requires
+                               # warp_pallas + warp_fused + march-res
+                               # decoupling (warp_march_rect < rect). 0/1.
+    warp_interleave: int = 0   # warp engine + pallas FUSED path: store
+                               # the canvas CHANNEL-INTERLEAVED
+                               # ([Hc, 4*Wc], lane = 4*x + channel) so a
+                               # window's 128-lane alignment slop is paid
+                               # once instead of per channel (~2x less
+                               # window DMA at c4-class rects).  Pure
+                               # layout change — same math, same oracle.
+                               # Requires warp_pallas + warp_fused. 0/1.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
@@ -205,6 +226,13 @@ class SceneConfig:
             raise ValueError("warp_march_rect must be a multiple of 16")
         if r.warp_slab_vx and (r.warp_slab_vx % 8 or r.warp_slab_vx < 8):
             raise ValueError("warp_slab_vx must be a multiple of 8, >= 8")
+        if (r.warp_coarse or r.warp_interleave) and not (
+                r.warp_pallas and r.warp_fused):
+            raise ValueError("warp_coarse / warp_interleave require the "
+                             "fused Pallas path (warp_pallas + warp_fused)")
+        if r.warp_coarse and not (0 < r.warp_march_rect < r.warp_rect):
+            raise ValueError("warp_coarse requires march-resolution "
+                             "decoupling (0 < warp_march_rect < warp_rect)")
 
 
 # ---------------------------------------------------------------------------
