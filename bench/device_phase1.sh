@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-4 device measurement phase 1: window-diet A/Bs + quality gates.
+# Run when the axon relay is up; output -> bench/out/phase1_*.log.
+# Each step bounded; a hung relay fails the step, not the script.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench/out
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout "$TMO" "$@" 2>&1 | tee "bench/out/phase1_${name}.log" | tail -40
+  echo "=== $name rc=$? ==="
+}
+
+# sanity + warm the compile cache
+TMO=900 run sanity python -m volq.cli --preset c1 --frames 2 --out /tmp/d_c1 --png
+
+# same-process A/Bs of the window-diet flags (c4 first: the <8 ms target)
+TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv
+TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv
+TMO=2400 run ab_c4ps python bench/flag_ab.py c4 perstep perstep+ilv perstep+coarse perstep+coarse+ilv
+
+# quality gates for coarse on the real scenes (vs full-res march)
+TMO=2400 run psnr_c4 python bench/psnr_c3.py c4 base coarse rm0
+TMO=2400 run psnr_c3 python bench/psnr_c3.py c3 base coarse rm0
+
+echo "PHASE1 DONE"

@@ -48,6 +48,16 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, engine="exact")
         elif part == "perstep":
             rr = dataclasses.replace(r, light_mode="march")
+        elif part == "coarse":
+            rr = dataclasses.replace(r, warp_coarse=1)
+        elif part == "ilv":
+            rr = dataclasses.replace(r, warp_interleave=1)
+        elif part == "nocoarse":
+            rr = dataclasses.replace(r, warp_coarse=0)
+        elif part == "noilv":
+            rr = dataclasses.replace(r, warp_interleave=0)
+        elif part == "nopair":
+            rr = dataclasses.replace(r, warp_pair=0)
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)
