@@ -87,3 +87,23 @@ def test_sharded_emission_matches_global_order(tiny_cfg):
         emitter=dataclasses.replace(tiny_cfg.emitter, rate=150.0,
                                     life_min=0.2, life_max=0.3))
     _compare_sharded(cfg, n_frames=5)
+
+
+@pytest.mark.slow
+def test_sharded_coarse_interleave_matches_single_device(tiny_cfg):
+    """The round-4 canvas layouts ride the binary swap: in coarse mode
+    each shard's canvas is march-cell resolution (the pre-swap crop and
+    the ICI bytes shrink by ~ratio^2) and the bilinear cell->pixel
+    upsample runs once per chip after the merge; interleaved canvases
+    are de-interleaved before the swap.  Sharded must still match the
+    single-device frame."""
+    cfg = dataclasses.replace(
+        tiny_cfg, n_particles=16,
+        render=dataclasses.replace(tiny_cfg.render, engine="warp",
+                                   warp_pallas=True, warp_fused=True,
+                                   warp_rect=48, warp_march_rect=32,
+                                   warp_chunk=4, warp_shift_max=8,
+                                   warp_coarse=1, warp_interleave=1),
+        emitter=dataclasses.replace(tiny_cfg.emitter, rate=30.0,
+                                    life_min=0.4, life_max=0.8))
+    _compare_sharded(cfg)
