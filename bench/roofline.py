@@ -69,13 +69,21 @@ def calibrate():
                       "hbm_gbps": round(gbps, 1)}))
 
 
-def model(name):
+def model(name, variant=None):
     from volq.scene.config import PRESETS
     from volq.render.warp import march_rect, slab_vx_eff
     from volq.render.kernel import (pair_enabled, stack_bank_resident,
-                                    _canvas_dims, win_split)
+                                    canvas_geom)
 
     cfg = PRESETS[name]()
+    if variant:
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "psnr_c3", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "psnr_c3.py"))
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        cfg = m.variant_cfg(cfg, variant)
     r = cfg.render
     N = cfg.n_particles
     V = cfg.volume.size
@@ -103,13 +111,22 @@ def model(name):
     if lit:
         slab += (N * VX * V * itm if center and not resident else
                  (dens_bytes if resident else N * S * VX * V * itm))
-    WH, WW, Hc, Wc = _canvas_dims(cfg, r.height, fused=True)
-    WWA = win_split(RP, WW)
+    g = canvas_geom(cfg, r.height)
+    WH, WW, WWA = g.WH, g.WW, g.WWA
     WWB = WW - WWA
-    wide_frac = min(max((128 - (WWA - RP)) / 128.0, 0.0), 1.0) if WWB \
-        else 0.0
-    win = N * 4 * WH * (WWA + wide_frac * WWB) * cit * 2   # fetch + wb
-    canvas = 4 * Hc * Wc * cit * 3           # zero + finish read/write
+    # wide when the sub-granule x offset pushes the placement past the
+    # A half: dxu in [0, gx) cells, wide iff e*(dxu + sup) > WWA
+    wide_frac = (min(max((g.gx - (WWA / g.e - g.sup)) / g.gx, 0.0), 1.0)
+                 if WWB else 0.0)
+    planes = 1 if g.ilv else 4               # window lane span covers
+    #                                          all 4 channels when ilv
+    win = N * planes * WH * (WWA + wide_frac * WWB) * cit * 2
+    canvas = planes * g.Hc * g.Wc * cit * 3  # zero + finish read/write
+    if g.ilv:
+        canvas += 2 * g.Hc * g.Wc * cit      # one de-interleave pass
+    if g.coarse:                             # cell->pixel upsample pass
+        canvas += 4 * (g.hc_img * g.wc_img * cit
+                       + r.height * r.width * 4)
     out_img = r.height * r.width * 4 * 4
 
     # ---- MXU FLOPs (per frame) ----------------------------------------
@@ -117,15 +134,21 @@ def model(name):
     # contraction; merged dot2: [MR, U*VX] x [U*VX, MR]
     dot1 = N // PW * S * 2 * MR * (PW * V) * VX
     dot2 = N // PW * S * 2 * MR * VX * MR
+    # Uy/Ux placement in x units (array widths / e); channels always 4
     place = N * 4 * (WH * RM * RM + WH * RM *
-                     (WWA + wide_frac * WWB)) * 2  # Uy/Ux placement
+                     (WWA + wide_frac * WWB) / g.e) * 2
     flops = dot1 + dot2 + place
+    if g.coarse:                             # upsample einsums (MXU)
+        flops += 2 * 4 * (r.height * g.hc_img * g.wc_img
+                          + r.height * r.width * g.wc_img)
 
     t_mxu = flops / (MXU_TFLOPS * 1e12)
     t_hbm = (slab + win + canvas + out_img) / (HBM_GBPS * 1e9)
     fixed = (N // PW) * (S // max(1, S)) * 0  # per-grid fixed in stalls
     return {
-        "config": name, "paired": bool(pair), "resident_bank": resident,
+        "config": name + (f":{variant}" if variant else ""),
+        "paired": bool(pair), "resident_bank": resident,
+        "layout": {"coarse": g.coarse, "ilv": g.ilv},
         "bytes": {"slab": slab, "window": win, "canvas": canvas,
                   "total": slab + win + canvas + out_img},
         "flops_T": round(flops / 1e12, 3),
@@ -144,12 +167,22 @@ def main():
         return
     names = [a for a in args if not a.startswith("--")] or ["c3", "c4"]
     out = []
-    for n in names:
-        rec = model(n)
+    for spec in names:
+        n, _, variant = spec.partition(":")   # e.g. c4:coarse+ilv
+        rec = model(n, variant or None)
         if "--measure" in args:
             from volq.engine.loop import time_frames
             from volq.scene.config import PRESETS
-            dt, _ = time_frames(PRESETS[n](), 24, fb=6, windows=3)
+            mcfg = PRESETS[n]()
+            if variant:
+                import importlib.util
+                sp = importlib.util.spec_from_file_location(
+                    "psnr_c3", os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "psnr_c3.py"))
+                pm = importlib.util.module_from_spec(sp)
+                sp.loader.exec_module(pm)
+                mcfg = pm.variant_cfg(mcfg, variant)
+            dt, _ = time_frames(mcfg, 24, fb=6, windows=3)
             rec["measured_ms"] = round(dt * 1e3, 2)
             rec["x_of_floor"] = round(dt * 1e3
                                       / max(rec["floor_ms"]["max"], 1e-9),
