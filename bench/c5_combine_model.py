@@ -91,11 +91,24 @@ def main(n_shards=8):
     from volq.engine.loop import _sync
 
     cfg = PRESETS["c5"]()
+    for part in sys.argv[1:]:          # e.g. coarse+ilv variant
+        if part.startswith("--") or part.isdigit():
+            continue
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "psnr_c3", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "psnr_c3.py"))
+        pm = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(pm)
+        cfg = pm.variant_cfg(cfg, part)
     r = cfg.render
     # the sharded path crops to the bare frame BEFORE the swap
-    # (dist/sharded.py), so the wire format is [4, H, W] fp32
-    Hp = _cdiv(r.height, n_shards) * n_shards
-    Wc = r.width
+    # (dist/sharded.py canvas_geom crop) — [4, hc_img, wc_img]; in
+    # coarse mode that is the MARCH-CELL frame, ~(RP/RM)^2 smaller
+    from volq.render.kernel import canvas_geom
+    g = canvas_geom(cfg, r.height)
+    Hp = _cdiv(g.hc_img, n_shards) * n_shards
+    Wc = g.wc_img
     itemsize = 4               # fp32 canvas (swap requirement)
     canvas_bytes = 4 * Hp * Wc * itemsize
     rounds = n_shards.bit_length() - 1
@@ -166,5 +179,5 @@ def main(n_shards=8):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]) or None) if sys.argv[1:] \
-        else main()
+    shards = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    main(*shards) if shards else main()
