@@ -24,4 +24,9 @@ TMO=2400 run ab_c4ps python bench/flag_ab.py c4 perstep perstep+ilv perstep+coar
 TMO=2400 run psnr_c4 python bench/psnr_c3.py c4 base coarse rm0
 TMO=2400 run psnr_c3 python bench/psnr_c3.py c3 base coarse rm0
 
+# c5 single-chip (slow: ~80 ms/frame base) + c2 at its shipped preset
+TMO=3600 run ab_c5 python bench/flag_ab.py c5 base coarse+ilv
+TMO=2400 run ab_c2 python bench/flag_ab.py c2 base ilv coarse+ilv
+TMO=2400 run psnr_c5 python bench/psnr_c3.py c5 base coarse
+
 echo "PHASE1 DONE"

@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 device capture phase 2: run AFTER the phase-1 A/Bs have been
+# read and any preset flips committed.  Produces every driver/judge
+# artifact for the round: on-device oracle diffs, the measured suite,
+# BASELINE.md regeneration, the 3-process headline band, the measured
+# roofline, the c5 combine timing, and the demo GIFs.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench/out
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout "$TMO" "$@" 2>&1 | tee "bench/out/phase2_${name}.log" | tail -30
+  echo "=== $name rc=$? ==="
+}
+
+# on-device oracle correctness table (8 cases, ~25 min; nothing else
+# may touch the TPU while it runs)
+TMO=3000 run device_diff python bench/device_diff.py --json=bench/out/device_diff.json
+
+# measured suite -> BASELINE.md MEASURED section
+TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c5shard --json=bench/out/suite.json
+TMO=600  run emit python bench/emit_baseline.py
+
+# headline capture: 3 separate processes for the cross-process band
+TMO=1200 run bench1 python bench.py
+TMO=1200 run bench2 python bench.py
+TMO=1200 run bench3 python bench.py
+
+# measured roofline + chip calibrations + c5 combine compute timing
+TMO=1200 run calib python bench/roofline.py --calibrate
+TMO=2400 run roofline python bench/roofline.py c3 c4 --measure
+TMO=1200 run combine python bench/c5_combine_model.py
+
+# demo GIFs: c3 fly-through (camera enters the cloud — straddlers) and
+# the c5 4D-animated noise (the one BASELINE config with no visual)
+TMO=3600 run gif_fly python -m volq.cli --preset c3 --frames 180 --fly-through \
+    --gif docs/images/c3_flythrough.gif --gif-width 640
+TMO=3600 run gif_c5 python -m volq.cli --preset c5 --frames 120 \
+    --gif docs/images/c5_4dnoise.gif --gif-width 640
+
+echo "PHASE2 DONE"

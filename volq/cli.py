@@ -78,6 +78,13 @@ def main(argv=None):
     ap.add_argument("--gif-width", type=int, default=960,
                     help="max GIF width in pixels (default 960)")
     ap.add_argument("--gif-fps", type=float, default=30.0)
+    ap.add_argument("--dolly", type=float, default=0.0, metavar="F",
+                    help="animate the camera eye toward look_at over the "
+                    "run, covering this fraction of the distance "
+                    "(fly-through; composes with --orbit)")
+    ap.add_argument("--orbit", type=float, default=0.0, metavar="DEG",
+                    help="orbit the camera around look_at by this many "
+                    "degrees over the run")
     ap.add_argument("--bench", action="store_true",
                     help="time steady-state frames instead of saving")
     ap.add_argument("--checkpoint", help="save final state here (.npz)")
@@ -179,9 +186,34 @@ def main(argv=None):
     launches = [fpl] * (args.frames // fpl)
     if args.frames % fpl:
         launches.append(args.frames % fpl)
+
+    cam_path = bool(args.dolly or args.orbit)
+    if cam_path:
+        import dataclasses
+        import numpy as np
+
+        def camera_at(frac):
+            """Camera at path fraction ``frac``: yaw ``--orbit`` degrees
+            around look_at, then pull ``--dolly`` of the eye->look_at
+            distance (the camera pytree is a jit INPUT, so per-frame
+            rebuilds re-upload 9 small leaves but never recompile).
+            With --frames-per-launch > 1 the path steps once per launch."""
+            cc = cfg.camera
+            tgt = np.asarray(cc.look_at, np.float64)
+            rel = np.asarray(cc.eye, np.float64) - tgt
+            if args.orbit:
+                th = np.deg2rad(args.orbit * frac)
+                c, s = np.cos(th), np.sin(th)
+                rel = np.array([c * rel[0] + s * rel[2], rel[1],
+                                -s * rel[0] + c * rel[2]])
+            rel = rel * (1.0 - args.dolly * frac)
+            c2 = dataclasses.replace(cc, eye=tuple(tgt + rel))
+            return build_camera(c2, cfg.render.width, cfg.render.height)
     gif_frames = []
     t_start = time.perf_counter()
     for i, n_launch in enumerate(launches):
+        if cam_path:
+            camera = camera_at(i / max(len(launches) - 1, 1))
         state, image, stats = step(state, n_launch)
         if args.png or not (args.npy or args.gif):
             io.save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
