@@ -72,6 +72,8 @@ def engine_flags(cfg):
         f.update(rect=r.warp_rect, rm=march_rect(cfg),
                  vx=slab_vx_eff(cfg, cfg.volume.size),
                  pair=int(bool(r.warp_pair)), fused=int(bool(r.warp_fused)),
+                 coarse=int(bool(r.warp_coarse)),
+                 ilv=int(bool(r.warp_interleave)),
                  dtype="fp32" if r.warp_fp32 else "bf16")
         if r.light_steps > 0:
             f["light"] = r.light_mode
