@@ -78,3 +78,25 @@ def test_cli_dump_config(capsys):
     assert rc == 0
     cfg = json.loads(capsys.readouterr().out)
     assert cfg["n_particles"] == 64
+
+
+def test_cli_camera_path(tmp_path):
+    """--dolly/--orbit animate the camera across the run: the final
+    frame must differ from the first (the scene is static otherwise,
+    c1 life >> run), and a path-free run must be unchanged frame to
+    frame."""
+    out = tmp_path / "fly"
+    rc = main(["--preset", "c1", "--frames", "3", "--dolly", "0.5",
+               "--orbit", "60", "--out", str(out), "--npy"] + _SHRINK)
+    assert rc == 0
+    a = np.load(out / "frame_0000.npy")
+    b = np.load(out / "frame_0002.npy")
+    assert a[..., 3].max() > 0.05
+    assert np.abs(a - b).max() > 1e-3
+
+    out2 = tmp_path / "static"
+    main(["--preset", "c1", "--frames", "2", "--out", str(out2),
+          "--npy"] + _SHRINK)
+    s0 = np.load(out2 / "frame_0000.npy")
+    s1 = np.load(out2 / "frame_0001.npy")
+    assert np.array_equal(s0, s1)
