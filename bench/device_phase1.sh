@@ -15,6 +15,18 @@ run() {
 # sanity + warm the compile cache
 TMO=900 run sanity python -m volq.cli --preset c1 --frames 2 --out /tmp/d_c1 --png
 
+# Mosaic compile-check of the new canvas layouts FIRST (interpret mode
+# proves math, not lowering): tiny warp render with coarse+ilv on, then
+# each alone.  A failure here aborts any preset-flip plan.
+TMO=900 run mosaic_small python -m volq.cli --preset c2 --frames 1 \
+    --set render.width=256 --set render.height=256 --set n_particles=16 \
+    --set render.warp_rect=96 --set render.warp_march_rect=48 \
+    --set render.warp_chunk=16 --set render.warp_shift_max=8 \
+    --set render.warp_coarse=1 --set render.warp_interleave=1 \
+    --out /tmp/d_warp --png
+TMO=900 run mosaic_c3like python -m volq.cli --preset c3 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c3co --png
+TMO=900 run mosaic_c4like python -m volq.cli --preset c4 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c4co --png
+
 # same-process A/Bs of the window-diet flags (c4 first: the <8 ms target)
 TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv
 TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv
