@@ -58,6 +58,8 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_interleave=0)
         elif part == "nopair":
             rr = dataclasses.replace(r, warp_pair=0)
+        elif part == "pair":
+            rr = dataclasses.replace(r, warp_pair=1)
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)
