@@ -29,7 +29,7 @@ TMO=900 run mosaic_c4like python -m volq.cli --preset c4 --frames 1 --set render
 
 # same-process A/Bs of the window-diet flags (c4 first: the <8 ms target)
 TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv
-TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv coarse+ilv+pair
+TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv coarse+ilv+pair coarse+ilv+hz2
 TMO=2400 run ab_c4ps python bench/flag_ab.py c4 perstep perstep+ilv perstep+coarse perstep+coarse+ilv
 
 # quality gates for coarse on the real scenes (vs full-res march)

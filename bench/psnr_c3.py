@@ -60,6 +60,8 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_pair=0)
         elif part == "pair":
             rr = dataclasses.replace(r, warp_pair=1)
+        elif part.startswith("hz"):
+            rr = dataclasses.replace(r, warp_hazard_passes=int(part[2:]))
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)

@@ -840,3 +840,72 @@ def test_coarse_config_validation():
         SceneConfig(render=RenderConfig(
             engine="warp", warp_coarse=1, warp_rect=48,
             warp_pallas=True))
+
+
+def test_hazard_swap_order_invariants():
+    """_hazard_swap_order must only swap DISJOINT-window neighbors (the
+    exactness condition) and must not increase the adjacent-overlap
+    (win_hazard) count, on randomized geometry."""
+    from volq.render.warp import _hazard_swap_order, _window_corners
+    from volq.render.kernel import canvas_geom
+
+    cfg = _warpify(SceneConfig(
+        n_particles=64, init="grid", seed=3,
+        volume=VolumeConfig(size=16, bank_size=4, octaves=1),
+        emitter=EmitterConfig(radius=2.0, size_min=0.4, size_max=0.8,
+                              life_min=100.0, life_max=100.0),
+        camera=CameraConfig(eye=(0.2, 0.5, -6.0)),
+        render=RenderConfig(width=256, height=128, steps=8),
+    ), warp_pallas=True)
+    H = cfg.render.height
+    RP = cfg.render.warp_rect
+    cg = canvas_geom(cfg, H)
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        N = 64
+        geom = {
+            "sy0": jnp.asarray(rng.integers(-RP, H, N), jnp.int32),
+            "sx0": jnp.asarray(rng.integers(-RP, cfg.render.width, N),
+                               jnp.int32),
+        }
+        order = jnp.asarray(rng.permutation(N), jnp.int32)
+        new = _hazard_swap_order(order, geom, cfg, 0, H, 3)
+        o0, o1 = np.asarray(order), np.asarray(new)
+        assert sorted(o1.tolist()) == sorted(o0.tolist())
+
+        _, _, oyj, oxj = _window_corners(geom["sy0"], geom["sx0"], cg, 0)
+        oy, ox = np.asarray(oyj), np.asarray(oxj)
+
+        def ovl(a, b):
+            return (abs(int(oy[a]) - int(oy[b])) < cg.WH
+                    and abs(int(ox[a]) - int(ox[b])) < cg.WW)
+
+        def hazards(o):
+            return sum(ovl(o[k - 1], o[k]) for k in range(1, N))
+
+        assert hazards(o1) <= hazards(o0), trial
+        # exactness across the FULL multi-pass composition: the new
+        # order must be reachable from the old by adjacent disjoint
+        # transpositions — verified by bubble-sorting o1 back to o0 and
+        # checking every executed adjacent swap is disjoint
+        cur = o1.tolist()
+        for tgt_i, v in enumerate(o0.tolist()):
+            i = cur.index(v)
+            while i > tgt_i:
+                assert not ovl(cur[i - 1], cur[i]), (trial, i)
+                cur[i - 1], cur[i] = cur[i], cur[i - 1]
+                i -= 1
+
+
+@pytest.mark.slow
+def test_hazard_swap_render_bit_exact(tiny_cfg):
+    """warp_hazard_passes is a pure reorder of bit-commuting composites:
+    the rendered frame must be EXACTLY identical with it on and off."""
+    base = _warpify(tiny_cfg, warp_pallas=True)
+    hz = dataclasses.replace(base, render=dataclasses.replace(
+        base.render, warp_hazard_passes=2))
+    state, camera, light = setup(base)
+    a, st_a = render_only(state, camera, light, base)
+    b, st_b = render_only(state, camera, light, hz)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert int(st_b["win_hazard"]) <= int(st_a["win_hazard"])

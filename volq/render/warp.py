@@ -1026,6 +1026,60 @@ def _pair_swap_order(order, geom, cfg: SceneConfig, y_start, h_local):
     return one_pass(one_pass(order))
 
 
+def _hazard_swap_order(order, geom, cfg: SceneConfig, y_start, h_local,
+                       n_passes: int):
+    """General composite-order hazard reduction for the UNPAIRED fused
+    kernel (the paired kernel runs _pair_swap_order instead): every
+    adjacent pair of overlapping canvas windows serializes the
+    double-buffered protocol (the fetch must wait the predecessor's
+    write-back — counted as win_hazard in stats).  A hazard between
+    depth-neighbors b, c cannot be swapped away directly (overlapping
+    windows do NOT commute), but bubbling a DISJOINT particle between
+    them can: swapping positions (j, j+1) is bit-exact iff the two
+    windows are disjoint (disjoint windows touch disjoint pixels, so
+    their OVER order commutes), and profitable when it lowers the
+    local hazard count against both outer neighbors a, d.  Each pass
+    runs an even and an odd phase; same-phase swaps touch disjoint
+    position pairs, so each phase is one vectorized gather and the
+    composition stays exact.  The benefit test reads a and d at their
+    pre-phase positions (a simultaneous neighbor swap can stale it) —
+    a perf-only approximation, mopped up by later passes."""
+    from volq.render.kernel import canvas_geom
+    cg = canvas_geom(cfg, h_local)
+    WH, WW = cg.WH, cg.WW
+    N = order.shape[0]
+    if N < 3:
+        return order
+
+    def one_phase(order, phase):
+        _, _, oy, ox = _window_corners(geom["sy0"][order],
+                                       geom["sx0"][order], cg, y_start)
+
+        def ovl(i, j, live=True):
+            o = ((jnp.abs(oy[i] - oy[j]) < WH)
+                 & (jnp.abs(ox[i] - ox[j]) < WW))
+            return o & live
+
+        j = jnp.arange(phase, N - 1, 2)
+        a = jnp.maximum(j - 1, 0)
+        d = jnp.minimum(j + 2, N - 1)
+        has_a, has_d = j >= 1, (j + 2) <= (N - 1)
+        before = (ovl(a, j, has_a).astype(jnp.int32)
+                  + ovl(j + 1, d, has_d).astype(jnp.int32))
+        after = (ovl(a, j + 1, has_a).astype(jnp.int32)
+                 + ovl(j, d, has_d).astype(jnp.int32))
+        swap = ~ovl(j, j + 1) & (after < before)   # LEGALITY: disjoint
+        perm = jnp.arange(N, dtype=jnp.int32)
+        perm = perm.at[j].set(jnp.where(swap, j + 1, j))
+        perm = perm.at[j + 1].set(jnp.where(swap, j, j + 1))
+        return order[perm]
+
+    for _ in range(n_passes):
+        order = one_phase(order, 0)
+        order = one_phase(order, 1)
+    return order
+
+
 def _window_corners(sy0, sx0, cg, y_start):
     """Per-particle canvas placement positions (ayf/axf, fractional in
     coarse mode) and ALIGNED window corners (oy rows, ox array elems),
@@ -1256,6 +1310,10 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
             # windows commute), cuts the paired kernel's deferred-fetch
             # stalls; flags below are recomputed on the swapped order
             order = _pair_swap_order(order, geom, cfg, y_start, h_local)
+        elif r.warp_hazard_passes > 0:
+            # general adjacent-hazard reduction (same exactness rule)
+            order = _hazard_swap_order(order, geom, cfg, y_start,
+                                       h_local, r.warp_hazard_passes)
         parts_o = jax.tree.map(lambda a: a[order], particles)
         geom_o = {k: v[order] for k, v in geom.items()}
         comp = _fused_comp_offsets(geom_o, cfg, y_start, h_local)

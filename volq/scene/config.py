@@ -164,6 +164,14 @@ class RenderConfig:
                                # window DMA at c4-class rects).  Pure
                                # layout change — same math, same oracle.
                                # Requires warp_pallas + warp_fused. 0/1.
+    warp_hazard_passes: int = 0  # warp engine + pallas FUSED path,
+                               # UNPAIRED: passes of the bit-exact
+                               # adjacent-swap reorder that bubbles
+                               # disjoint windows between overlapping
+                               # depth-neighbors (win_hazard stalls the
+                               # double-buffered canvas protocol).  The
+                               # paired kernel runs its own pair-aware
+                               # pass instead.  0 = off.
     warp_shift_max: int = 8    # warp engine: max fan-correction shift in
                                # grid cells (K); larger shifts clamp
                                # (counted as shift_clamped)
