@@ -38,7 +38,8 @@ def main():
         mrays = rays / dt / 1e6
         out["variants"][name] = {
             "ms": round(dt * 1e3, 3), "mrays": round(mrays, 1),
-            "band_ms": [round(b * 1e3, 3) for b in band]}
+            "band_ms": [round(b * 1e3, 3) for b in band],
+            "stats": {k: int(v) for k, v in stats.items()}}
         print(f"{preset} {name:>16}: {dt*1e3:7.3f} ms  {mrays:6.1f} "
               f"Mrays/s  band={[f'{b*1e3:.2f}' for b in band]}",
               flush=True)
