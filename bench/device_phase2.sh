@@ -22,10 +22,26 @@ TMO=3000 run device_diff python bench/device_diff.py --json=bench/out/device_dif
 TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c5shard --json=bench/out/suite.json
 TMO=600  run emit python bench/emit_baseline.py
 
-# headline capture: 3 separate processes for the cross-process band
+# headline capture: 3 separate processes for the cross-process band,
+# collected into bench/out/bench.json for emit_baseline
 TMO=1200 run bench1 python bench.py
 TMO=1200 run bench2 python bench.py
 TMO=1200 run bench3 python bench.py
+python - <<'PYEOF'
+import json
+recs = []
+for i in (1, 2, 3):
+    try:
+        for line in open(f"bench/out/phase2_bench{i}.log"):
+            line = line.strip()
+            if line.startswith("{"):
+                recs.append(json.loads(line))
+    except FileNotFoundError:
+        pass
+json.dump(recs, open("bench/out/bench.json", "w"), indent=1)
+print(f"collected {len(recs)} bench records")
+PYEOF
+TMO=600  run emit2 python bench/emit_baseline.py
 
 # measured roofline + chip calibrations + c5 combine compute timing
 TMO=1200 run calib python bench/roofline.py --calibrate
