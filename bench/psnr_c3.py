@@ -62,6 +62,10 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_pair=1)
         elif part.startswith("hz"):
             rr = dataclasses.replace(r, warp_hazard_passes=int(part[2:]))
+        elif part == "bf16c":
+            rr = dataclasses.replace(r, warp_canvas_fp32=False)
+        elif part == "f32c":
+            rr = dataclasses.replace(r, warp_canvas_fp32=True)
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)
