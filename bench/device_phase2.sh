@@ -20,7 +20,6 @@ TMO=3000 run device_diff python bench/device_diff.py --json=bench/out/device_dif
 
 # measured suite -> BASELINE.md MEASURED section
 TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c5shard --json=bench/out/suite.json
-TMO=600  run emit python bench/emit_baseline.py
 
 # headline capture: 3 separate processes for the cross-process band,
 # collected into bench/out/bench.json for emit_baseline
@@ -41,12 +40,15 @@ for i in (1, 2, 3):
 json.dump(recs, open("bench/out/bench.json", "w"), indent=1)
 print(f"collected {len(recs)} bench records")
 PYEOF
-TMO=600  run emit2 python bench/emit_baseline.py
 
 # measured roofline + chip calibrations + c5 combine compute timing
 TMO=1200 run calib python bench/roofline.py --calibrate
-TMO=2400 run roofline python bench/roofline.py c3 c4 --measure
+TMO=2400 run roofline python bench/roofline.py c3 c4 c3:nocoarse+noilv+f32c c4:nocoarse+noilv+f32c --measure
 TMO=1200 run combine python bench/c5_combine_model.py
+
+# regenerate BASELINE.md's MEASURED / DEVICE_DIFF / ROOFLINE sections
+# from everything captured above (single emit so the doc is consistent)
+TMO=600  run emit python bench/emit_baseline.py
 
 # demo GIFs: c3 fly-through (camera enters the cloud — straddlers) and
 # the c5 4D-animated noise (the one BASELINE config with no visual)

@@ -34,6 +34,13 @@ if "--calibrate" not in sys.argv and "--measure" not in sys.argv:
 
 MXU_TFLOPS = 127.0          # measured: 8192^3 bf16 matmul, fetch-synced
 HBM_GBPS = 600.0            # measured: large device-to-device copy
+try:                        # prefer this chip's own --calibrate record
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "out", "calib.json")) as _f:
+        _c = json.load(_f)
+    MXU_TFLOPS, HBM_GBPS = _c["mxu_tflops"], _c["hbm_gbps"]
+except (OSError, ValueError, KeyError):
+    pass
 
 
 def calibrate():
@@ -65,8 +72,11 @@ def calibrate():
     _sync(y)
     dt = (time.perf_counter() - t0) / 8
     gbps = 2 * big.size * 2 / dt / 1e9                 # read + write
-    print(json.dumps({"mxu_tflops": round(tflops, 1),
-                      "hbm_gbps": round(gbps, 1)}))
+    rec = {"mxu_tflops": round(tflops, 1), "hbm_gbps": round(gbps, 1)}
+    print(json.dumps(rec))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "out", "calib.json"), "w") as f:
+        json.dump(rec, f)
 
 
 def model(name, variant=None):
