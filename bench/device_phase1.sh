@@ -25,16 +25,16 @@ TMO=900 run mosaic_small python -m volq.cli --preset c2 --frames 1 \
     --set render.warp_coarse=1 --set render.warp_interleave=1 \
     --out /tmp/d_warp --png
 TMO=900 run mosaic_c3like python -m volq.cli --preset c3 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c3co --png
-TMO=900 run mosaic_c4like python -m volq.cli --preset c4 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c4co --png
 
-# same-process A/Bs of the window-diet flags (c4 first: the <8 ms target)
-TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv coarse+ilv+bf16c
+# same-process A/Bs of the window-diet flags.  c3 FIRST: it is the
+# headline config (500 Mrays/s clause), so if the relay window is
+# short, the highest-value capture lands before anything else.
 TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv coarse+ilv+pair coarse+ilv+hz2 coarse+ilv+bf16c
-TMO=2400 run ab_c4ps python bench/flag_ab.py c4 perstep perstep+ilv perstep+coarse perstep+coarse+ilv
-
-# quality gates for coarse / bf16-canvas on the real scenes (vs full-res)
-TMO=2400 run psnr_c4 python bench/psnr_c3.py c4 base coarse bf16c coarse+bf16c rm0
 TMO=2400 run psnr_c3 python bench/psnr_c3.py c3 base coarse bf16c coarse+bf16c rm0
+TMO=900 run mosaic_c4like python -m volq.cli --preset c4 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c4co --png
+TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv coarse+ilv+bf16c
+TMO=2400 run psnr_c4 python bench/psnr_c3.py c4 base coarse bf16c coarse+bf16c rm0
+TMO=2400 run ab_c4ps python bench/flag_ab.py c4 perstep perstep+ilv perstep+coarse perstep+coarse+ilv
 
 # c5 single-chip (slow: ~80 ms/frame base) + c2 at its shipped preset
 TMO=3600 run ab_c5 python bench/flag_ab.py c5 base coarse+ilv
