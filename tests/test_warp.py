@@ -4,6 +4,7 @@ projections, camera orientations (incl. the yaw row-fan pass), bank-fetch
 strategies, lighting, and quantization modes — and stay visually
 consistent with the exact per-ray renderer (PSNR sanity bound)."""
 import dataclasses
+import warnings
 
 import numpy as np
 import jax.numpy as jnp
@@ -580,7 +581,13 @@ def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
             cfg, render=dataclasses.replace(cfg.render, warp_pair=1))
         state, camera, light = setup(cfg)
         a, _ = render_only(state, camera, light, cfg)
-        bimg, _ = render_only(state, camera, light, cfg_pair)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            bimg, pstats = render_only(state, camera, light, cfg_pair)
+        # in-envelope: pairing actually engaged, quietly (the outside-
+        # envelope warning/stat is test_warp_pair_outside_envelope_*)
+        assert int(pstats["pair_inactive"]) == 0
+        assert not any("warp_pair" in str(x.message) for x in w)
         a = np.asarray(a, np.float64)
         bimg = np.asarray(bimg, np.float64)
         assert a[..., 3].max() > 0.05        # non-trivial image
@@ -689,9 +696,6 @@ def test_warp_pair_outside_envelope_warns_and_counts(tiny_cfg):
     """warp_pair=1 outside the pairing envelope must not be a silent
     no-op: the render warns at trace time and stats carry
     pair_inactive=1.  In-envelope configs count 0 and stay quiet."""
-    import warnings
-    from volq.scene.config import SceneConfig as SC  # noqa: F401
-
     # odd particle count -> pairing cannot engage
     cfg_odd = dataclasses.replace(
         _warpify(tiny_cfg, warp_pallas=True, warp_pair=1), n_particles=7)
@@ -710,15 +714,9 @@ def test_warp_pair_outside_envelope_warns_and_counts(tiny_cfg):
         warnings.simplefilter("always")
         _, stats = render_only(state, camera, light, cfg_unfused)
     assert int(stats["pair_inactive"]) == 1
-
-    # in-envelope: even N, fused, resident bank, unlit
-    cfg_ok = _warpify(tiny_cfg, warp_pallas=True, warp_pair=1)
-    state, camera, light = setup(cfg_ok)
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        _, stats = render_only(state, camera, light, cfg_ok)
-    assert int(stats["pair_inactive"]) == 0
-    assert not any("warp_pair" in str(x.message) for x in w)
+    # (the quiet in-envelope path — pair_inactive == 0, no warning — is
+    # asserted inside test_warp_pair_matches_unpaired, which already
+    # pays for an in-envelope paired render)
 
 
 @pytest.mark.slow
