@@ -19,7 +19,7 @@ run() {
 TMO=3000 run device_diff python bench/device_diff.py --json=bench/out/device_diff.json
 
 # measured suite -> BASELINE.md MEASURED section
-TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c5shard --json=bench/out/suite.json
+TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c4:perstep c5shard --json=bench/out/suite.json
 
 # headline capture: 3 separate processes for the cross-process band,
 # collected into bench/out/bench.json for emit_baseline

@@ -18,7 +18,13 @@ def bench_config(name: str, n_frames: int = 24):
     from volq.engine.loop import setup, time_frames, _sync
     from volq.sim.step import sim_step
 
-    cfg = PRESETS[name]()
+    # 'c4:perstep'-style variant rows (psnr_c3.variant_cfg vocabulary)
+    base, _, variant = name.partition(":")
+    cfg = PRESETS[base]()
+    if variant:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from psnr_c3 import variant_cfg
+        cfg = variant_cfg(cfg, variant)
 
     # the shared harness (engine/loop.time_frames): frames batched per
     # dispatch, fetch-synced, median-of-3 windows — the same numbers as
@@ -66,12 +72,24 @@ def engine_flags(cfg):
     the ACTUAL preset (so the table can never drift from the shipped
     config — the round-3 failure mode)."""
     from volq.render.warp import march_rect, slab_vx_eff
+    from volq.render.kernel import pair_enabled, stack_bank_resident
+    import numpy as np
     r = cfg.render
     f = {"engine": r.engine}
     if r.engine == "warp":
-        f.update(rect=r.warp_rect, rm=march_rect(cfg),
-                 vx=slab_vx_eff(cfg, cfg.volume.size),
-                 pair=int(bool(r.warp_pair)), fused=int(bool(r.warp_fused)),
+        lit = r.light_steps > 0
+        center = lit and r.light_mode == "center"
+        V = cfg.volume.size
+        VX = slab_vx_eff(cfg, V)
+        # EFFECTIVE pairing (the kernel's own envelope mirror), not the
+        # config flag — a c4:perstep row must not claim "paired"
+        bank = np.zeros((cfg.volume.bank_size, r.steps, VX, V),
+                        "float32" if r.warp_fp32 else "float16")
+        resident = stack_bank_resident((bank, None), lit, center)
+        pair = pair_enabled(cfg, cfg.n_particles, True, lit, center,
+                            resident)
+        f.update(rect=r.warp_rect, rm=march_rect(cfg), vx=VX,
+                 pair=int(pair), fused=int(bool(r.warp_fused)),
                  coarse=int(bool(r.warp_coarse)),
                  ilv=int(bool(r.warp_interleave)),
                  dtype="fp32" if r.warp_fp32 else "bf16")
