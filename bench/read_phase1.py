@@ -1,0 +1,101 @@
+"""Digest the phase-1 device captures into one flip-decision table.
+
+Parses bench/out/phase1_ab_*.log (flag_ab JSON lines) and
+phase1_psnr_*.log (psnr_c3 "<variant> vs <ref>: X dB" lines) and
+prints, per preset: variant, frame ms, delta vs base, PSNR, and a
+recommendation — the fastest variant whose PSNR (vs the run's
+reference image) clears --min-db (default 44; the repo's quality
+ladder accepted 48.6 dB for c4's center-mode flip and ~43 dB for the
+coarse CPU pre-gate at c3/c4 ratios, docs/DESIGN.md §5f-5g).
+
+Usage: python bench/read_phase1.py [--min-db=44]
+Reads logs only — never touches a device; safe while the relay is down.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+
+
+def load_ab():
+    runs = {}
+    for p in sorted(glob.glob(os.path.join(OUT, "phase1_ab_*.log"))):
+        rec = None
+        for line in open(p):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    pass
+        if rec:
+            runs[os.path.basename(p)[len("phase1_"):-len(".log")]] = rec
+    return runs
+
+
+def load_psnr():
+    """{preset: {variant: (db, ref)}} — prefers the rm0 (full-res march
+    reference) comparison when both are printed."""
+    out = {}
+    pat = re.compile(r"^\s*(\S+) vs (\S+):\s*([\d.]+) dB")
+    for p in sorted(glob.glob(os.path.join(OUT, "phase1_psnr_*.log"))):
+        preset = os.path.basename(p)[len("phase1_psnr_"):-len(".log")]
+        d = out.setdefault(preset, {})
+        for line in open(p):
+            m = pat.match(line)
+            if m:
+                v, ref, db = m.group(1), m.group(2), float(m.group(3))
+                if v not in d or ref == "rm0":
+                    d[v] = (db, ref)
+    return out
+
+
+def main():
+    min_db = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+                   if a.startswith("--min-db")), 44.0)
+    ab = load_ab()
+    psnr = load_psnr()
+    if not ab:
+        print("no phase1_ab_*.log captures under bench/out/ yet")
+        return 1
+    for run, rec in ab.items():
+        preset = rec["preset"]
+        vs = rec["variants"]
+        base_ms = vs.get("base", vs.get("perstep", {})).get("ms")
+        print(f"\n== {run} (preset {preset}; base {base_ms} ms; "
+              f"PSNR floor {min_db} dB) ==")
+        best = None
+        for name, r in vs.items():
+            ms = r["ms"]
+            delta = ("%+.1f%%" % (100.0 * (ms - base_ms) / base_ms)
+                     if base_ms else "?")
+            # gate a compound variant on its WORST measured part (each
+            # part degrades independently); an exact-name PSNR row wins
+            pd = psnr.get(preset, {})
+            if name in pd:
+                db_ref = pd[name]
+            else:
+                hits = [pd[part] for part in name.split("+")
+                        if part in pd]
+                db_ref = min(hits) if hits else None
+            db_s = "%.1f dB vs %s" % db_ref if db_ref else "-"
+            gate = (db_ref is None) or db_ref[0] >= min_db
+            stats = r.get("stats", {})
+            bad = {k: v for k, v in stats.items()
+                   if v and ("overflow" in k or "clamp" in k
+                             or k == "pair_inactive")}
+            print(f"  {name:>22}: {ms:8.3f} ms  {delta:>7}  {db_s:>18}"
+                  f"  {'OK' if gate else 'FAILS GATE'}"
+                  f"{'  ' + str(bad) if bad else ''}")
+            if gate and not bad and (best is None or ms < best[1]):
+                best = (name, ms)
+        if best:
+            print(f"  -> recommend: {best[0]} ({best[1]:.3f} ms)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
