@@ -166,9 +166,63 @@ def case_c3_class_vx64():
         float(np.abs(img - ref).max()), TOL_BF16
 
 
+def case_c3_class_coarse_ilv():
+    """The round-4 window-diet layout on a c3-class scene — coarse
+    (march-cell-resolution) canvas + channel-interleaved windows —
+    FORCED on regardless of what the preset ships, so the diet's
+    on-device rounding is in the table either way.  The oracle mirrors
+    the fractional hat placement, the interleaved fold, and the finish
+    upsample exactly."""
+    from volq.scene.config import c3
+    from volq.oracle.warp_cpu import render_warp_oracle
+
+    cfg = c3()
+    cfg = dataclasses.replace(
+        cfg, n_particles=128,
+        volume=dataclasses.replace(cfg.volume, bank_size=128),
+        render=dataclasses.replace(cfg.render, warp_coarse=1,
+                                   warp_interleave=1))
+    state, camera, light, img = _scene(cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera,
+                             light, cfg)
+    return "c3class_warp_pallas_bf16_coarse_ilv_1080p", \
+        float(np.abs(img - ref).max()), TOL_BF16
+
+
+def case_c4_class_coarse_ilv_bf16c():
+    """The full diet on a c4-class scene: coarse + interleaved +
+    bf16 canvas (fp32 RMW accumulation), center light, paired —
+    the round-4 candidate production layout."""
+    import jax.numpy as jnp
+    from volq.scene.config import c4
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.render.kernel import pair_enabled
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c4()
+    cfg = dataclasses.replace(
+        cfg, n_particles=256,
+        render=dataclasses.replace(cfg.render, warp_coarse=1,
+                                   warp_interleave=1,
+                                   warp_canvas_fp32=False))
+    assert pair_enabled(cfg, 256, True, True, True), \
+        "case must exercise the PAIRED diet kernel"
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c4class_warp_pallas_bf16_coarse_ilv_bf16c_paired_1080p", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
 CASES = (case_c1_exact, case_c2_warp_fp32, case_c2_warp, case_c2_slab,
          case_c3_class_warp_lit, case_c3_class_vx64,
-         case_c4_class_center_light_paired)
+         case_c4_class_center_light_paired, case_c3_class_coarse_ilv,
+         case_c4_class_coarse_ilv_bf16c)
 
 
 def main():

@@ -16,7 +16,7 @@ run() {
 
 # on-device oracle correctness table (8 cases, ~25 min; nothing else
 # may touch the TPU while it runs)
-TMO=3000 run device_diff python bench/device_diff.py --json=bench/out/device_diff.json
+TMO=4200 run device_diff python bench/device_diff.py --json=bench/out/device_diff.json
 
 # measured suite -> BASELINE.md MEASURED section
 TMO=3600 run suite python bench/suite.py c1 c2 c3 c4 c4:perstep c5shard --json=bench/out/suite.json
