@@ -52,7 +52,8 @@ TMO=600  run emit python bench/emit_baseline.py
 
 # demo GIFs: c3 fly-through (camera enters the cloud — straddlers) and
 # the c5 4D-animated noise (the one BASELINE config with no visual)
-TMO=3600 run gif_fly python -m volq.cli --preset c3 --frames 180 --fly-through \
+TMO=3600 run gif_fly python -m volq.cli --preset c3 --frames 180 \
+    --dolly 0.92 --orbit 25 \
     --gif docs/images/c3_flythrough.gif --gif-width 640
 TMO=3600 run gif_c5 python -m volq.cli --preset c5 --frames 120 \
     --gif docs/images/c5_4dnoise.gif --gif-width 640
