@@ -43,7 +43,7 @@ PYEOF
 
 # measured roofline + chip calibrations + c5 combine compute timing
 TMO=1200 run calib python bench/roofline.py --calibrate
-TMO=2400 run roofline python bench/roofline.py c3 c4 c3:nocoarse+noilv+f32c c4:nocoarse+noilv+f32c --measure
+TMO=2400 run roofline python bench/roofline.py c3 c4 c5 c3:nocoarse+noilv+f32c c4:nocoarse+noilv+f32c --measure
 TMO=1200 run combine python bench/c5_combine_model.py
 
 # regenerate BASELINE.md's MEASURED / DEVICE_DIFF / ROOFLINE sections
