@@ -9,7 +9,18 @@ run() {
   name=$1; shift
   echo "=== $name: $* ==="
   timeout "$TMO" "$@" 2>&1 | tee "bench/out/phase1_${name}.log" | tail -40
-  echo "=== $name rc=$? ==="
+  rc=${PIPESTATUS[0]}
+  echo "=== $name rc=$rc ==="
+  if [ "$rc" -eq 124 ]; then
+    # step hit its timeout — if the relay itself is gone, abort the
+    # phase now instead of burning every remaining step's timeout;
+    # completed captures are already on disk and the phase can re-run.
+    if ! timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1
+    then
+      echo "RELAY LOST after $name — aborting phase (re-run when up)"
+      exit 2
+    fi
+  fi
 }
 
 # sanity + warm the compile cache
