@@ -40,7 +40,7 @@ TMO=900 run mosaic_c3like python -m volq.cli --preset c3 --frames 1 --set render
 # same-process A/Bs of the window-diet flags.  c3 FIRST: it is the
 # headline config (500 Mrays/s clause), so if the relay window is
 # short, the highest-value capture lands before anything else.
-TMO=2400 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv coarse+ilv+pair coarse+ilv+hz2 coarse+ilv+bf16c coarse+ilv+vx48
+TMO=3600 run ab_c3 python bench/flag_ab.py c3 base ilv coarse coarse+ilv coarse+ilv+pair coarse+ilv+hz2 coarse+ilv+bf16c coarse+ilv+vx48
 TMO=2400 run psnr_c3 python bench/psnr_c3.py c3 base coarse bf16c coarse+bf16c vx48 rm0
 TMO=900 run mosaic_c4like python -m volq.cli --preset c4 --frames 1 --set render.warp_coarse=1 --set render.warp_interleave=1 --out /tmp/d_c4co --png
 TMO=2400 run ab_c4 python bench/flag_ab.py c4 base ilv coarse coarse+ilv coarse+ilv+bf16c
