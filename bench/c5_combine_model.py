@@ -43,9 +43,11 @@ if os.environ.get("VOLQ_CPU"):
 import numpy as np
 
 
-def audited_ppermute_bytes(canvas_shape, itemsize, n_shards):
+def audited_ppermute_bytes(canvas_shape, n_shards, bf16_wire=False):
     """Trace dist/sharded._binary_swap on a virtual mesh and read the
-    per-chip ppermute operand bytes per round out of the jaxpr."""
+    per-chip ppermute operand bytes per round out of the jaxpr (shape
+    AND dtype come from the traced operand, so a bf16 wire is audited
+    as the 2-byte payload it actually ships)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P
@@ -60,7 +62,7 @@ def audited_ppermute_bytes(canvas_shape, itemsize, n_shards):
 
     def body(canvas):
         idx = jax.lax.axis_index(AXIS)
-        return _binary_swap(canvas, idx, n_shards)
+        return _binary_swap(canvas, idx, n_shards, bf16_wire=bf16_wire)
 
     f = jax.shard_map(body, mesh=mesh, in_specs=P(), out_specs=P(AXIS),
                       check_vma=False)
@@ -71,8 +73,8 @@ def audited_ppermute_bytes(canvas_shape, itemsize, n_shards):
     def walk(jx):
         for eqn in jx.eqns:
             if eqn.primitive.name == "ppermute":
-                rounds.append(int(np.prod(eqn.invars[0].aval.shape))
-                              * itemsize)
+                av = eqn.invars[0].aval
+                rounds.append(int(np.prod(av.shape)) * av.dtype.itemsize)
             for sub in eqn.params.values():
                 if hasattr(sub, "eqns"):            # raw Jaxpr
                     walk(sub)
@@ -110,13 +112,16 @@ def main(n_shards=8):
     Hp = _cdiv(g.hc_img, n_shards) * n_shards
     Wc = g.wc_img
     itemsize = 4               # fp32 canvas (swap requirement)
+    # wire dtype: the warp_swap_bf16 flag ships ppermute payloads bf16
+    wire_itemsize = 2 if r.warp_swap_bf16 else itemsize
     canvas_bytes = 4 * Hp * Wc * itemsize
+    wire_canvas = 4 * Hp * Wc * wire_itemsize
     rounds = n_shards.bit_length() - 1
 
     # 1. traffic per chip: half the current region per round (regions
     # halve), plus the closing bit-reversal ppermute of the owned strip
     sent = 0
-    region = canvas_bytes
+    region = wire_canvas
     per_round = []
     for _ in range(rounds):
         sent += region // 2
@@ -127,7 +132,8 @@ def main(n_shards=8):
 
     audited = None
     if jax.default_backend() == "cpu":
-        measured = audited_ppermute_bytes((4, Hp, Wc), itemsize, n_shards)
+        measured = audited_ppermute_bytes(
+            (4, Hp, Wc), n_shards, bf16_wire=bool(r.warp_swap_bf16))
         assert measured == per_round + [bitrev], (measured, per_round)
         audited = [round(x / 2**20, 1) for x in measured]
 
@@ -163,6 +169,7 @@ def main(n_shards=8):
 
     print(json.dumps({
         "n_shards": n_shards,
+        "wire_dtype": "bf16" if wire_itemsize == 2 else "fp32",
         "canvas": [4, Hp, Wc], "canvas_MB": round(canvas_bytes / 2**20, 1),
         "rounds": rounds,
         "sent_per_chip_MB": round(sent / 2**20, 1),

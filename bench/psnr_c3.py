@@ -64,6 +64,8 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_hazard_passes=int(part[2:]))
         elif part == "bf16c":
             rr = dataclasses.replace(r, warp_canvas_fp32=False)
+        elif part == "swapbf16":
+            rr = dataclasses.replace(r, warp_swap_bf16=1)
         elif part == "f32c":
             rr = dataclasses.replace(r, warp_canvas_fp32=True)
         else:

@@ -43,14 +43,26 @@ def _over(front, back):
     return jnp.concatenate([C, T], axis=0)
 
 
-def _binary_swap(canvas, idx, n_shards: int):
+def _binary_swap(canvas, idx, n_shards: int, bf16_wire: bool = False):
     """Binary-swap parallel compositing: each shard enters with the
     canvas of ITS depth slice (full frame) and leaves with its
     1/n_shards contiguous ROW RANGE of the fully composited canvas.
     log2(n) rounds; each round exchanges half the current region with
     the partner across one index bit and OVER-combines (the lower index
-    holds the NEARER depth slice, hence the front)."""
+    holds the NEARER depth slice, hence the front).
+
+    ``bf16_wire`` ships every ppermute payload as bf16 (the OVER still
+    accumulates fp32 on arrival), halving the per-chip ICI combine
+    bytes; it quantizes what rides the wire, so sharded==single-chip
+    becomes a PSNR-gated property instead of bit-exact (the
+    warp_swap_bf16 flag's contract; docs/DESIGN.md 5h#3)."""
     _, Hc, Wc = canvas.shape
+
+    def _ship(x, perm):
+        if bf16_wire:
+            return jax.lax.ppermute(
+                x.astype(jnp.bfloat16), AXIS, perm=perm).astype(x.dtype)
+        return jax.lax.ppermute(x, AXIS, perm=perm)
     nr = n_shards.bit_length() - 1
     Hp = _cdiv(Hc, n_shards) * n_shards
     if Hp != Hc:
@@ -74,8 +86,7 @@ def _binary_swap(canvas, idx, n_shards: int):
         am_first = (bit == 0)
         keep = jnp.where(am_first, first, second)
         send = jnp.where(am_first, second, first)
-        recv = jax.lax.ppermute(
-            send, AXIS, perm=[(i, i ^ mask) for i in range(n_shards)])
+        recv = _ship(send, [(i, i ^ mask) for i in range(n_shards)])
         front = jnp.where(am_first, keep, recv)
         back = jnp.where(am_first, recv, keep)
         region = _over(front, back)
@@ -83,8 +94,7 @@ def _binary_swap(canvas, idx, n_shards: int):
     def bitrev(x):
         return int(format(x, f"0{nr}b")[::-1], 2) if nr else x
 
-    return jax.lax.ppermute(
-        region, AXIS, perm=[(i, bitrev(i)) for i in range(n_shards)])
+    return _ship(region, [(i, bitrev(i)) for i in range(n_shards)])
 
 
 def state_specs(sharded_particles: bool):
@@ -197,7 +207,8 @@ def sharded_frame_fn(cfg: SceneConfig, mesh, n_frames_per_call: int = 1):
             g = canvas_geom(cfg, r.height)
             canvas = jax.lax.dynamic_slice(
                 canvas, (0, g.pad, g.pad), (4, g.hc_img, g.wc_img))
-            tiles = _binary_swap(canvas, idx, n_shards)
+            tiles = _binary_swap(canvas, idx, n_shards,
+                                 bf16_wire=bool(r.warp_swap_bf16))
         else:
             tile_start = idx * tiles_local
             tiles, stats = render_frame_tiles(

@@ -192,6 +192,14 @@ class RenderConfig:
                                # (False: bf16 — halves composite traffic;
                                # single-chip only: the sharded
                                # binary-swap combine requires fp32)
+    warp_swap_bf16: int = 0    # warp engine, SHARDED path: ship the
+                               # binary-swap ppermute payloads as bf16
+                               # (the OVER still accumulates fp32 on
+                               # arrival) — halves the per-chip ICI
+                               # combine wire (DESIGN 5h#3).  Changes
+                               # the image (wire quantization): turns
+                               # the sharded==single-chip bit-exactness
+                               # into a PSNR-gated property.  0/1.
     warp_pallas: bool = False  # warp engine: use the Pallas TPU kernels
                                # (render/kernel.py) for march + composite
     tile_h: int = 8            # screen tile shape; (8, 128) is VPU-native
