@@ -22,8 +22,15 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
 
 def load_ab():
     runs = {}
+    # per-variant printed line, e.g. "c4   coarse+ilv:  6.123 ms  339.1
+    # Mrays/s  band=[...]" — the salvage path for a run that crashed
+    # before its closing JSON record (no stats available then)
+    line_pat = re.compile(
+        r"^(\w+)\s+(\S+):\s+([\d.]+) ms\s+([\d.]+) Mrays/s")
     for p in sorted(glob.glob(os.path.join(OUT, "phase1_ab_*.log"))):
         rec = None
+        partial = {}
+        preset = None
         for line in open(p):
             line = line.strip()
             if line.startswith("{"):
@@ -31,8 +38,21 @@ def load_ab():
                     rec = json.loads(line)
                 except ValueError:
                     pass
+            else:
+                m = line_pat.match(line)
+                if m:
+                    preset = m.group(1)
+                    partial[m.group(2)] = {
+                        "ms": float(m.group(3)),
+                        "mrays": float(m.group(4)), "stats": {}}
+        if rec is None and partial:
+            rec = {"preset": preset, "variants": partial,
+                   "partial": True}
         if rec:
-            runs[os.path.basename(p)[len("phase1_"):-len(".log")]] = rec
+            name = os.path.basename(p)[len("phase1_"):-len(".log")]
+            if rec.get("partial"):
+                name += " (PARTIAL — crashed before JSON)"
+            runs[name] = rec
     return runs
 
 

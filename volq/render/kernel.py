@@ -1364,7 +1364,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 vldi = gf[i_, 0, _G_VALID]
                 doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
                 doyj_i.append(doy_j)
-                vm_i.append(jnp.broadcast_to(vldi > 0, (1, RM)))
+                # f32 on the lane concat: Mosaic cannot relayout i1
+                # vectors across the packed-lane cat in every canvas
+                # layout (bitcast_vreg i1->i32 fails under coarse/ilv);
+                # compare back to bool after bcat
+                vm_i.append(jnp.broadcast_to(
+                    (vldi > 0).astype(jnp.float32), (1, RM)))
                 if persp:
                     ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
                     oy_c = (1.0 - py_c * (2.0 / H_)) * sys
@@ -1393,7 +1398,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                                              doy_step * Gy_j))
 
             doyj_p = rcat(doyj_i)                # [RM, MR]
-            vmask = bcat(vm_i)
+            vmask = bcat(vm_i) > 0.5
             if persp:
                 D_ij = bcat(D_ic_i) + doyj_p * uzc
                 du = safe_div(doyj_p * bcat(A_i_i), D_ij)
