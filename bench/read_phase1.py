@@ -87,6 +87,7 @@ def main():
         base_ms = vs.get("base", vs.get("perstep", {})).get("ms")
         print(f"\n== {run} (preset {preset}; base {base_ms} ms; "
               f"PSNR floor {min_db} dB) ==")
+        base_stats = vs.get("base", vs.get("perstep", {})).get("stats", {})
         best = None
         for name, r in vs.items():
             ms = r["ms"]
@@ -104,9 +105,14 @@ def main():
             db_s = "%.1f dB vs %s" % db_ref if db_ref else "-"
             gate = (db_ref is None) or db_ref[0] >= min_db
             stats = r.get("stats", {})
+            # veto only counters that REGRESS vs base: a preset may ship
+            # a deliberate, PSNR-budgeted nonzero counter (c3's rect 144
+            # overflows ~23/1024 by design — foot_p99 155.9), and that
+            # must not block the base row or flag-neutral variants
             bad = {k: v for k, v in stats.items()
-                   if v and ("overflow" in k or "clamp" in k
-                             or k == "pair_inactive")}
+                   if v and v > base_stats.get(k, 0)
+                   and ("overflow" in k or "clamp" in k
+                        or k == "pair_inactive")}
             print(f"  {name:>22}: {ms:8.3f} ms  {delta:>7}  {db_s:>18}"
                   f"  {'OK' if gate else 'FAILS GATE'}"
                   f"{'  ' + str(bad) if bad else ''}")

@@ -10,9 +10,9 @@ import read_phase1 as rp  # noqa: E402
 
 AB = ('{"preset": "c3", "variants": {'
       '"base": {"ms": 4.03, "mrays": 514.0, "band_ms": [4.0],'
-      ' "stats": {"pair_inactive": 0}},'
+      ' "stats": {"pair_inactive": 0, "rect_overflow": 23}},'
       '"coarse+ilv": {"ms": 3.1, "mrays": 668.0, "band_ms": [3.0],'
-      ' "stats": {}},'
+      ' "stats": {"rect_overflow": 23}},'
       '"coarse+ilv+vx48": {"ms": 2.9, "mrays": 714.0, "band_ms": [2.8],'
       ' "stats": {}},'
       '"coarse+ilv+bf16c": {"ms": 2.95, "mrays": 702.0,'
@@ -38,9 +38,27 @@ def test_worst_part_gate_and_counter_veto(tmp_path, monkeypatch, capsys):
     vx_line = next(ln for ln in out.splitlines()
                    if "coarse+ilv+vx48" in ln)
     assert "41.2" in vx_line and "FAILS GATE" in vx_line
-    # bf16c passes PSNR but carries a nonzero loss counter -> not
-    # recommended; coarse+ilv (slower but clean) wins
+    # bf16c passes PSNR but REGRESSES a loss counter vs base -> not
+    # recommended; coarse+ilv wins even though it carries base's own
+    # deliberate rect_overflow (counters veto only on regression: a
+    # preset may ship a PSNR-budgeted nonzero counter, like c3's
+    # rect-144 overflow)
     assert "recommend: coarse+ilv (3.100 ms)" in out
+
+
+def test_salvages_partial_log_without_json(tmp_path, monkeypatch, capsys):
+    """A flag_ab run that crashed before its closing JSON record (the
+    paired-coarse Mosaic failure mode) still digests from the printed
+    per-variant lines."""
+    (tmp_path / "phase1_ab_c9.log").write_text(
+        "c9             base:   8.000 ms   100.0 Mrays/s  band=['8.0']\n"
+        "c9              ilv:   7.000 ms   114.0 Mrays/s  band=['7.0']\n"
+        "Traceback (most recent call last):\n  boom\n")
+    monkeypatch.setattr(rp, "OUT", str(tmp_path))
+    monkeypatch.setattr(sys, "argv", ["read_phase1.py"])
+    assert rp.main() == 0
+    out = capsys.readouterr().out
+    assert "PARTIAL" in out and "recommend: ilv (7.000 ms)" in out
 
 
 def test_no_captures_yet(tmp_path, monkeypatch, capsys):
