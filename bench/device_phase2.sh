@@ -54,7 +54,10 @@ PYEOF
 
 # measured roofline + chip calibrations + c5 combine compute timing
 TMO=1200 run calib python bench/roofline.py --calibrate
-TMO=2400 run roofline python bench/roofline.py c3 c4 c5 c3:nocoarse+noilv+f32c c4:nocoarse+noilv+f32c --measure
+# presets ship unflipped (the diet measured negative, DESIGN 5g), so
+# the roofline rows are the shipped bases plus the diet layouts as
+# documentation of the model-vs-measured gap
+TMO=2400 run roofline python bench/roofline.py c3 c4 c5 c3:coarse+ilv c4:coarse+ilv --measure
 TMO=1200 run combine python bench/c5_combine_model.py
 
 # regenerate BASELINE.md's MEASURED / DEVICE_DIFF / ROOFLINE sections
