@@ -401,7 +401,16 @@ def c5() -> SceneConfig:
         render=RenderConfig(width=3840, height=2160, steps=24, light_steps=8,
                             engine="warp", warp_fp32=False, warp_rect=176,
                             warp_march_rect=80, light_mode="center",
-                            warp_pair=1, warp_chunk=64, warp_pallas=True, warp_mega=2048,
+                            warp_pair=1,
+                            # window-traffic diet: at 4K/rect-176 the
+                            # canvas windows dominate and the diet wins
+                            # 84.7 -> 61.5 ms (-27%) at 52.9 dB vs the
+                            # full-res composite (hazards no worse);
+                            # the same flags LOSE at the 1080p presets
+                            # (DESIGN 5g) - resolution-dependent, and
+                            # the sharded combine wire shrinks ~5x
+                            warp_coarse=1, warp_interleave=1,
+                            warp_chunk=64, warp_pallas=True, warp_mega=2048,
                             tile_h=8, tile_w=32, near_fade_start=9.0,
                             near_fade_end=7.0,
                             max_tiles_per_particle=32, max_pairs=262144,
