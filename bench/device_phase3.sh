@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-4 device phase 3: the headline gap-window probes + the
+# VMEM-resident-canvas (warp_canvas_vmem / warp_bands) ladder, run
+# AFTER phase 2's artifact captures.
+#
+# Ordering: compile-checks first (a Mosaic lowering failure must not
+# cost the timing steps), then the c3 headline probes (the round's #1
+# verdict item), then the c4/c5 resident-canvas A/Bs.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench/out
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout "$TMO" "$@" 2>&1 | tee "bench/out/phase3_${name}.log" | tail -40
+  rc=${PIPESTATUS[0]}
+  echo "=== $name rc=$rc ==="
+  if [ "$rc" -eq 124 ]; then
+    if ! timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1
+    then
+      echo "RELAY LOST after $name — aborting phase (re-run when up)"
+      exit 2
+    fi
+  fi
+}
+
+# 0) Mosaic compile-checks for the resident canvas: every new layout
+# must lower on device before any timing (interpret mode proves math,
+# not lowering).  One frame each, real preset scale.
+TMO=1800 run mosaic_c4res python -m volq.cli --preset c4 --frames 1 \
+    --set render.warp_bands=3 --set render.warp_canvas_vmem=1 \
+    --out /tmp/d_c4res --png
+TMO=1800 run mosaic_c4cres python -m volq.cli --preset c4 --frames 1 \
+    --set render.warp_coarse=1 --set render.warp_canvas_vmem=1 \
+    --out /tmp/d_c4cres --png
+
+# 1) c3 headline: attribute the 4.03 (r3) vs 4.22 (today) gap — code
+# drift or environment drift.  Interleaved same-day A/B, 3 rounds each.
+TMO=4800 run regress bash bench/regress_ab.sh
+
+# 2) c3 headline: dispatch-amortization knee at ~4.2 ms frames
+TMO=2400 run fb_c3 python bench/fb_sweep.py c3 12 18 24 36
+
+# 3) window-traffic upper bounds: what killing ALL canvas-window DMA
+# is worth per preset (the resident canvas can reclaim at most this)
+TMO=2400 run windma_c3 env VOLQ_ABLATE=windma python bench/flag_ab.py c3 base
+TMO=2400 run windma_c4 env VOLQ_ABLATE=windma python bench/flag_ab.py c4 base
+TMO=3600 run windma_c5 env VOLQ_ABLATE=windma python bench/flag_ab.py c5 base
+
+# 4) c4 resident-canvas ladder (<8 ms target).  bands*+res is EXACT
+# (no PSNR gate); coarse+res rides the coarse gate (45.15 dB — fails
+# the 48 dB floor; measured for the ladder's completeness).
+TMO=4800 run ab_c4res python bench/flag_ab.py c4 base bands3+res bands4+res bands3 coarse+res
+
+# 5) c5 single-chip: banded resident canvas on the shipped coarse+ilv
+# preset (base ships coarse+ilv; bands2+res fits the 11 MB budget)
+TMO=4800 run ab_c5res python bench/flag_ab.py c5 base bands2+res bands3+res
+
+echo "PHASE3 DONE"

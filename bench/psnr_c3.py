@@ -68,6 +68,10 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_swap_bf16=1)
         elif part == "f32c":
             rr = dataclasses.replace(r, warp_canvas_fp32=True)
+        elif part == "res":
+            rr = dataclasses.replace(r, warp_canvas_vmem=1)
+        elif part.startswith("bands"):
+            rr = dataclasses.replace(r, warp_bands=int(part[5:]))
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)

@@ -907,3 +907,116 @@ def test_hazard_swap_render_bit_exact(tiny_cfg):
     b, st_b = render_only(state, camera, light, hz)
     assert np.array_equal(np.asarray(a), np.asarray(b))
     assert int(st_b["win_hazard"]) <= int(st_a["win_hazard"])
+
+
+def test_warp_canvas_vmem_matches_windowed(tiny_cfg, tiny_lit_cfg):
+    """warp_canvas_vmem keeps the whole canvas VMEM-resident (the window
+    fetch/write-back become on-chip copies; the canvas initializes
+    in-kernel and flushes once).  Storage-only: the RMW math and its
+    order are unchanged, so the frame is EXACTLY identical to the
+    windowed path — in every layout/lighting/pairing combination."""
+    cases = [
+        _warpify(tiny_cfg, warp_pallas=True),
+        _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                 warp_coarse=1, warp_interleave=1),
+        # the c4/c5 production combination: center-lit bf16 paired
+        _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                 warp_canvas_fp32=False, light_mode="center", warp_pair=1),
+        # per-step lit (3-plane accumulators, per-particle flip)
+        _warpify(tiny_lit_cfg, warp_pallas=True),
+    ]
+    for cfg in cases:
+        cfg_res = dataclasses.replace(cfg, render=dataclasses.replace(
+            cfg.render, warp_canvas_vmem=1))
+        state, camera, light = setup(cfg)
+        a, _ = render_only(state, camera, light, cfg)
+        b, _ = render_only(state, camera, light, cfg_res)
+        assert np.asarray(a)[..., 3].max() > 0.05
+        assert np.array_equal(np.asarray(a), np.asarray(b)), \
+            f"canvas_vmem diverged ({cfg.render.light_steps=}, " \
+            f"{cfg.render.warp_coarse=}, {cfg.render.warp_pair=})"
+
+
+def test_warp_bands_match_unbanded(tiny_cfg, tiny_lit_cfg):
+    """warp_bands renders horizontal pixel bands as separate fused
+    dispatches: disjoint pixels -> EXACTLY the unbanded frame (per-band
+    compositing is the same per-pixel math), including particles whose
+    rects straddle a band boundary (they march once per band)."""
+    for cfg in (_warpify(tiny_cfg, warp_pallas=True),
+                _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                         warp_canvas_fp32=False, light_mode="center",
+                         warp_pair=1)):
+        state, camera, light = setup(cfg)
+        a, st_a = render_only(state, camera, light, cfg)
+        for nb in (2, 3):
+            cfgb = dataclasses.replace(cfg, render=dataclasses.replace(
+                cfg.render, warp_bands=nb))
+            b, st_b = render_only(state, camera, light, cfgb)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), nb
+            # straddlers render once per band touched: band counters
+            # count render SLOTS (>= the unbanded count), scene-global
+            # stats stay scene-global
+            assert int(st_b["rendered"]) >= int(st_a["rendered"])
+            assert int(st_b["alive"]) == int(st_a["alive"])
+        # bands + resident canvas together (the pixel-resolution
+        # VMEM-canvas recipe): still exactly the unbanded frame
+        cfgbr = dataclasses.replace(cfg, render=dataclasses.replace(
+            cfg.render, warp_bands=2, warp_canvas_vmem=1))
+        c, _ = render_only(state, camera, light, cfgbr)
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_warp_canvas_vmem_streamed_pair(tiny_lit_cfg, monkeypatch):
+    """When the resident canvas evicts the slab bank from VMEM
+    (residency budgets charge canvas_nbytes), pairing switches to
+    per-member STREAMED stack blocks instead of silently turning off —
+    and still renders identically.  Tiny banks always fit, so shrink
+    the module budgets to force the eviction."""
+    import volq.render.kernel as K
+    cfg = _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                   warp_canvas_fp32=False, light_mode="center",
+                   warp_pair=1)
+    state, camera, light = setup(cfg)
+    a, st_a = render_only(state, camera, light, cfg)
+    assert int(st_a["pair_inactive"]) == 0
+    monkeypatch.setattr(K, "_BANK_BUDGET", 1)
+    monkeypatch.setattr(K, "_DENS_BUDGET", 1)
+    # budget-shrunk baseline (streamed banks, windowed canvas)
+    b, st_b = render_only(state, camera, light, cfg)
+    cfg_res = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, warp_canvas_vmem=1))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        c, st_c = render_only(state, camera, light, cfg_res)
+    # pairing stayed ON via streamed per-member stacks (no warning)
+    assert int(st_c["pair_inactive"]) == 0
+    assert not any("warp_pair" in str(x.message) for x in w)
+    assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert np.array_equal(np.asarray(b), np.asarray(c))
+
+
+def test_warp_canvas_vmem_too_big_raises(tiny_cfg):
+    """A canvas that cannot fit VMEM must fail loudly at trace time
+    with the remediation (coarse / bands) in the message."""
+    cfg = dataclasses.replace(
+        _warpify(tiny_cfg, warp_pallas=True, warp_canvas_vmem=1),
+        render=dataclasses.replace(
+            _warpify(tiny_cfg, warp_pallas=True).render,
+            warp_canvas_vmem=1, width=1920, height=1080))
+    state, camera, light = setup(cfg)
+    with pytest.raises(ValueError, match="warp_bands"):
+        render_only(state, camera, light, cfg)
+
+
+def test_bands_config_validation():
+    base = SceneConfig()
+    r = base.render
+    with pytest.raises(ValueError, match="warp_bands"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, warp_bands=0))
+    with pytest.raises(ValueError, match="engine"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, warp_bands=2, engine="slab"))
+    with pytest.raises(ValueError, match="fused"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, engine="warp", warp_canvas_vmem=1, warp_pallas=False))

@@ -74,19 +74,39 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def stack_bank_resident(slab_banks, lit: bool, center: bool = False) -> bool:
+# VMEM residency budgets (bytes): joint slab banks / solo density bank.
+# Module-level so march_warp_pallas and the host-side mirror
+# (stack_bank_resident) share one source of truth — and so tests can
+# shrink them to force the streamed-bank paths on tiny scenes.
+_BANK_BUDGET = 8 * 2 ** 20
+_DENS_BUDGET = 12 * 2 ** 20
+
+
+def stack_bank_resident(slab_banks, lit: bool, center: bool = False,
+                        reserve_bytes: int = 0) -> bool:
     """True when the kernel keeps the slab bank(s) VMEM-resident and
     streams ZERO (or, in center mode, one mid-slab of) per-particle
     volume DMAs.  Mirrors march_warp_pallas's stack_resident AND
     dens_resident decisions: center/unlit configs qualify with just the
     DENSITY bank under the solo 12 MB budget (e.g. config 4's 12.6 MB
-    bank misses the joint 8 MB cut but is density-resident)."""
+    bank misses the joint 8 MB cut but is density-resident).
+    ``reserve_bytes``: VMEM already claimed by other resident state —
+    the warp_canvas_vmem canvas (kernel.canvas_nbytes) charges here."""
     if slab_banks is None:
         return False
     dens_bytes = slab_banks[0].size * slab_banks[0].dtype.itemsize
-    if (1 + lit) * dens_bytes <= 8 * 2 ** 20:
+    if (1 + lit) * dens_bytes <= _BANK_BUDGET - reserve_bytes:
         return True
-    return (center or not lit) and dens_bytes <= 12 * 2 ** 20
+    return (center or not lit) and \
+        dens_bytes <= _DENS_BUDGET - reserve_bytes
+
+
+def canvas_nbytes(cfg: SceneConfig, h_local) -> int:
+    """Bytes of the FUSED path's canvas (canvas_geom layout) — the VMEM
+    reserve a warp_canvas_vmem canvas claims from the residency budgets."""
+    g = canvas_geom(cfg, h_local)
+    itm = 4 if cfg.render.warp_canvas_fp32 else 2
+    return g.Hc * g.Wc * itm * (1 if g.ilv else 4)
 
 
 def pair_enabled(cfg: SceneConfig, n: int, use_stack: bool, lit: bool,
@@ -95,12 +115,14 @@ def pair_enabled(cfg: SceneConfig, n: int, use_stack: bool, lit: bool,
     Shared with warp._pair_swap_order so the host-side pair-aware
     composite reorder engages for exactly the same configs.
     ``resident``: VMEM-resident slab bank(s) (stack_bank_resident) —
-    pairing is restricted to resident banks (every preset that enables
-    it qualifies; per-particle STREAMED stacks would need paired block
-    streams that no config exercises)."""
+    pairing normally requires resident banks, EXCEPT under
+    warp_canvas_vmem, whose canvas may evict the bank: the kernel then
+    streams one stack block per pair member (stack_spec(i)), which the
+    resident-canvas savings pay for."""
     r = cfg.render
     from volq.render.warp import march_rect
-    return (bool(r.warp_pair) and use_stack and resident
+    return (bool(r.warp_pair) and use_stack
+            and (resident or bool(r.warp_canvas_vmem))
             and (center or not lit)
             and n % 2 == 0 and march_rect(cfg) <= 96)
 
@@ -133,6 +155,25 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     and the separate composite kernel dispatch entirely."""
     r = cfg.render
     fused = canvas is not None
+    # VMEM-resident canvas (warp_canvas_vmem): the whole fused canvas
+    # lives in a VMEM scratch for the duration of the kernel — the
+    # per-particle window fetch / write-back DMAs become ON-CHIP
+    # VMEM->VMEM copies (the HBM window traffic AND its hazard stalls
+    # disappear), the canvas initializes in-kernel, and ONE flush DMA
+    # writes it to HBM at the last grid step.  Storage-only: the RMW
+    # math, its order, and the window protocol are unchanged, so the
+    # result is bit-identical to the windowed path.  The canvas bytes
+    # are charged against the slab-bank residency budgets below (a
+    # resident canvas can evict a resident bank back to streaming).
+    RES = fused and bool(r.warp_canvas_vmem)
+    res_reserve = canvas.size * canvas.dtype.itemsize if RES else 0
+    if RES and res_reserve > 11 * 2 ** 20:
+        raise ValueError(
+            f"warp_canvas_vmem: the fused canvas is "
+            f"{res_reserve / 2**20:.1f} MB — too large to keep "
+            f"VMEM-resident (~11 MB budget of the 16 MB VMEM). Shrink it "
+            f"with warp_coarse (march-cell canvas) and/or warp_bands "
+            f"(render in horizontal pixel bands).")
     RP = r.warp_rect
     assert RP % 16 == 0, "warp_rect must be a multiple of 16 (bf16 tiles)"
     from volq.render.warp import march_rect, needs_row_fan, \
@@ -239,14 +280,17 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         Ms = slab_banks[0].shape[0]
         dens_bytes = slab_banks[0].size * slab_banks[0].dtype.itemsize
         bank_bytes = (1 + lit) * dens_bytes
-        stack_resident = bank_bytes <= 8 * 2 ** 20
+        stack_resident = bank_bytes <= _BANK_BUDGET - res_reserve
         if not stack_resident and (center or not lit):
             # center/unlit only need the DENSITY bank resident (center
             # streams one light mid-slab per particle), so it gets a
             # solo, larger VMEM budget — e.g. config 4's 12.6 MB bank
             # just misses the joint 8 MB cut and would otherwise
-            # re-stream ~800 MB/frame of slabs in depth order
-            dens_resident = dens_bytes <= 12 * 2 ** 20
+            # re-stream ~800 MB/frame of slabs in depth order.  A
+            # VMEM-resident canvas (RES) charges its bytes here first:
+            # the canvas windows it deletes outweigh the slab re-stream
+            # it brings back (which overlaps the march).
+            dens_resident = dens_bytes <= _DENS_BUDGET - res_reserve
 
     # Unroll U march steps per grid step: amortizes the fixed per-grid-step
     # cost (block bookkeeping, predicates) over more MXU work.  Measured
@@ -322,6 +366,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         ILV = bool(cg.ilv)
         COARSE = bool(cg.coarse)
         cdt = canvas.dtype
+        Hc_, Wc_ = cg.Hc, cg.Wc
 
     def kernel(vidx_ref, flip_ref, vld_ref, *rest):
         if fused:
@@ -364,7 +409,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # upsample weights in-kernel instead)
             uy_r, ux_r = rest[5], rest[6]
             rest = rest[:5] + rest[7:]
-        if fused:
+        if fused and RES:
+            # resident mode: no canvas input (the scratch initializes
+            # in-kernel); cvs is the VMEM-resident canvas, canvas_out
+            # only receives the final flush DMA
+            (gf, rxu, ryw, camf_r, lightf_r, canvas_out,
+             clamp_out, acc, geo, win, sem_in, sem_out,
+             semB_in, semB_out, cvs, sem_flush) = rest
+        elif fused:
             (gf, rxu, ryw, camf_r, lightf_r, canvas_in, canvas_out,
              clamp_out, acc, geo, win, sem_in, sem_out,
              semB_in, semB_out) = rest
@@ -390,10 +442,31 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 return (win.at[bb, :, pl.ds(off, wwn)] if ILV
                         else win.at[bb, :, :, pl.ds(off, wwn)])
 
+            # RES: the window copies' far end is the VMEM-resident
+            # canvas (on-chip VMEM->VMEM DMAs) instead of HBM
+            cref = cvs if RES else canvas_out
+
             def _canvas_slice(y_, x_, wwn):
-                return (canvas_out.at[pl.ds(y_, WH), pl.ds(x_, wwn)]
+                return (cref.at[pl.ds(y_, WH), pl.ds(x_, wwn)]
                         if ILV else
-                        canvas_out.at[:, pl.ds(y_, WH), pl.ds(x_, wwn)])
+                        cref.at[:, pl.ds(y_, WH), pl.ds(x_, wwn)])
+
+            if RES:
+                @pl.when((n == 0) & (s == 0))
+                def _cvs_init():
+                    # in-kernel canvas init (C = 0, T = 1; interleaved:
+                    # T on phase-3 lanes) — replaces the host-side
+                    # canvas_init_pallas array, which RES mode never
+                    # reads (XLA DCEs its construction)
+                    if ILV:
+                        lane = jax.lax.broadcasted_iota(
+                            jnp.int32, (Hc_, Wc_), 1)
+                        cvs[...] = jnp.where(
+                            lane - (lane // 4) * 4 == 3, 1.0, 0.0) \
+                            .astype(cdt)
+                    else:
+                        cvs[0:3] = jnp.zeros((3, Hc_, Wc_), cdt)
+                        cvs[3:4] = jnp.ones((1, Hc_, Wc_), cdt)
 
             def coutA_desc(k, bb):
                 y_, x_ = win_yx(k)
@@ -1513,6 +1586,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         @pl.when((n == N - 1) & (ov_ref[n] == 0))
                         def _drain_prev():
                             coutA_desc(n, 1 - b).wait()
+            if fused and RES:
+                # the drains above ordered every window write-back into
+                # cvs before this single HBM flush
+                @pl.when(n == N2 - 1)
+                def _flush():
+                    cp = pltpu.make_async_copy(cvs, canvas_out, sem_flush)
+                    cp.start()
+                    cp.wait()
 
     def vol_spec(u, off):
         # invalid rows (dead/culled or the other size class) map to a
@@ -1624,7 +1705,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(N2, SG),
-            in_specs=in_specs + [pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=in_specs + ([] if RES else
+                                 [pl.BlockSpec(memory_space=pl.ANY)]),
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 1), lambda n, s, *pf: (0, 0),
@@ -1636,20 +1718,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 pltpu.SemaphoreType.DMA((2,)),               # A out
                 pltpu.SemaphoreType.DMA(()),                 # B in
                 pltpu.SemaphoreType.DMA(()),                 # B out
-            ],
+            ] + ([
+                pltpu.VMEM(cshape, canvas.dtype),            # cvs (RES)
+                pltpu.SemaphoreType.DMA(()),                 # flush
+            ] if RES else []),
         )
         # canvas position: 9 prefetch + tensor inputs, canvas last
+        # (RES: no canvas input — the VMEM scratch initializes in-kernel
+        # and the output is written by the final flush DMA alone)
         alias_idx = 9 + len(inputs)
         canvas_out, clamp = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct(cshape, canvas.dtype),
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)],
-            input_output_aliases={alias_idx: 0},
+            input_output_aliases={} if RES else {alias_idx: 0},
             interpret=_interpret(),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(vidx, flip, vld_i, comp["oy"], comp["ox"], comp["dy"],
-          comp["dx"], comp["ov"], comp["wide"], *inputs, canvas)
+          comp["dx"], comp["ov"], comp["wide"], *inputs,
+          *([] if RES else [canvas]))
         return canvas_out, clamp[0, 0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

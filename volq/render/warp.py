@@ -1255,20 +1255,25 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
         # (unfused, streamed banks, per-step lit, odd N, march_rect > 96)
         # must not silently run unpaired — warn at trace time and count
         # it in the frame stats.
-        from volq.render.kernel import pair_enabled, stack_bank_resident
+        from volq.render.kernel import (pair_enabled, stack_bank_resident,
+                                        canvas_nbytes)
+        res_bytes = (canvas_nbytes(cfg, h_local)
+                     if (r.warp_canvas_vmem and r.warp_pallas
+                         and r.warp_fused) else 0)
         pair_on = (r.warp_pallas and r.warp_fused and pair_enabled(
             cfg, N, slab_banks is not None, lit_, center_,
-            resident=stack_bank_resident(slab_banks, lit_,
-                                         center=center_)))
+            resident=stack_bank_resident(slab_banks, lit_, center=center_,
+                                         reserve_bytes=res_bytes)))
         stats = dict(stats, pair_inactive=jnp.int32(0 if pair_on else 1))
         if not pair_on:
             import warnings
             warnings.warn(
                 "warp_pair=1 requested but pairing is outside its "
                 "envelope for this scene (requires the fused Pallas "
-                "kernel, VMEM-resident slab banks, center/unlit "
-                "lighting, an even particle count, and march_rect <= "
-                "96) — rendering unpaired", stacklevel=2)
+                "kernel, VMEM-resident or canvas_vmem-streamed slab "
+                "banks, center/unlit lighting, an even particle count, "
+                "and march_rect <= 96) — rendering unpaired",
+                stacklevel=2)
 
     z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
     order = jnp.argsort(z, stable=True).astype(jnp.int32)
@@ -1379,13 +1384,52 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     return canvas, stats
 
 
+def _merge_band_stats(a, b):
+    """Counters sum across bands (a straddling particle renders in each
+    band it touches, so 'rendered' counts render SLOTS, honestly > N);
+    scene-global stats (alive, pair_inactive) are identical per band."""
+    keep = ("alive", "pair_inactive")
+    return {k: (v if k in keep else v + b[k]) for k, v in a.items()}
+
+
 def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
                 cfg: SceneConfig, light_volumes=None, y_start=0,
                 h_local: int | None = None, slab_banks=None):
     """Render one frame (or a horizontal pixel band) with the warp
-    engine.  Returns ([h_local, W, 4] f32, stats)."""
+    engine.  Returns ([h_local, W, 4] f32, stats).
+
+    warp_bands > 1 renders the frame as that many horizontal pixel
+    bands, one fused-kernel dispatch each: disjoint pixel sets make the
+    result EXACTLY the unbanded image (per-band compositing is the same
+    per-pixel math), while each band's canvas is ~1/bands the size — the
+    enabler for a pixel-resolution warp_canvas_vmem canvas.  Particles
+    straddling a band boundary march once per band they touch
+    (_grid_geometry's on_screen test already culls per band)."""
+    r = cfg.render
     if h_local is None:
-        h_local = cfg.render.height
+        h_local = r.height
+    bands = int(r.warp_bands)
+    if bands > 1 and y_start == 0 and h_local == r.height:
+        if (slab_banks is None and r.warp_pallas
+                and use_slab_banks(cfg, volumes.shape[-1])):
+            # bake the pre-lerped slab banks ONCE for all bands
+            wdt = jnp.float32 if r.warp_fp32 else jnp.bfloat16
+            lit_ = light_volumes is not None and r.light_steps > 0
+            vx_ = slab_vx_eff(cfg, volumes.shape[-1])
+            slab_banks = (
+                bake_march_slabs(volumes, r.steps, wdt, vx_),
+                bake_march_slabs(light_volumes, r.steps, wdt, vx_)
+                if lit_ else None)
+        rows, stats, y0 = [], None, 0
+        for i in range(bands):
+            bh = r.height // bands + (1 if i < r.height % bands else 0)
+            img, st = render_warp(particles, volumes, camera, light, cfg,
+                                  light_volumes=light_volumes, y_start=y0,
+                                  h_local=bh, slab_banks=slab_banks)
+            rows.append(img)
+            stats = st if stats is None else _merge_band_stats(stats, st)
+            y0 += bh
+        return jnp.concatenate(rows, axis=0), stats
     canvas, stats = render_warp_canvas(particles, volumes, camera, light,
                                        cfg, light_volumes=light_volumes,
                                        y_start=y_start, h_local=h_local,

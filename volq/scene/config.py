@@ -164,6 +164,32 @@ class RenderConfig:
                                # window DMA at c4-class rects).  Pure
                                # layout change — same math, same oracle.
                                # Requires warp_pallas + warp_fused. 0/1.
+    warp_canvas_vmem: int = 0  # warp engine + pallas FUSED path: keep
+                               # the whole canvas VMEM-RESIDENT inside
+                               # the kernel — per-particle window
+                               # fetch/write-back become on-chip
+                               # VMEM->VMEM copies (no HBM window
+                               # traffic, no hazard-stall cost), the
+                               # canvas initializes in-kernel and ONE
+                               # flush DMA writes it out at the end.
+                               # Bit-identical to the windowed path
+                               # (storage-only change).  The canvas must
+                               # fit ~11 MB of VMEM: shrink it with
+                               # warp_coarse and/or warp_bands.  Charges
+                               # the slab-bank residency budgets (may
+                               # flip a resident bank back to streaming;
+                               # pairing then streams per-member stack
+                               # blocks).  0/1.
+    warp_bands: int = 1        # warp engine: render the frame as this
+                               # many horizontal pixel bands, one fused
+                               # kernel dispatch each (disjoint pixels:
+                               # EXACT — per-band compositing is the
+                               # same math).  Shrinks the canvas by
+                               # ~1/bands so warp_canvas_vmem fits at
+                               # pixel resolution; particles straddling
+                               # a band boundary march once per band
+                               # touched (~rect/height extra march per
+                               # boundary).
     warp_hazard_passes: int = 0  # warp engine + pallas FUSED path,
                                # UNPAIRED: passes of the bit-exact
                                # adjacent-swap reorder that bubbles
@@ -249,6 +275,15 @@ class SceneConfig:
         if r.warp_coarse and not (0 < r.warp_march_rect < r.warp_rect):
             raise ValueError("warp_coarse requires march-resolution "
                              "decoupling (0 < warp_march_rect < warp_rect)")
+        if r.warp_canvas_vmem and not (r.warp_pallas and r.warp_fused):
+            raise ValueError("warp_canvas_vmem requires the fused Pallas "
+                             "path (warp_pallas + warp_fused)")
+        if r.warp_bands < 1:
+            raise ValueError("warp_bands must be >= 1")
+        if r.warp_bands > 1 and r.engine != "warp":
+            raise ValueError("warp_bands > 1 requires engine='warp'")
+        if r.warp_bands > r.height:
+            raise ValueError("warp_bands must not exceed render height")
 
 
 # ---------------------------------------------------------------------------
