@@ -56,4 +56,10 @@ TMO=4800 run ab_c4res python bench/flag_ab.py c4 base bands3+res bands4+res band
 # preset (base ships coarse+ilv; bands2+res fits the 11 MB budget)
 TMO=4800 run ab_c5res python bench/flag_ab.py c5 base bands2+res bands3+res
 
+# 6) fresh in-process ablation breakdown on the HEAD kernel (the
+# round-2/3 breakdowns predate ~1.5 kLoC of kernel change) — targets
+# the next diet
+TMO=3600 run ablate_c3 python bench/ablate_c3.py c3
+TMO=3600 run ablate_c4 python bench/ablate_c3.py c4
+
 echo "PHASE3 DONE"
