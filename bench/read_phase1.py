@@ -8,7 +8,8 @@ reference image) clears --min-db (default 44; the repo's quality
 ladder accepted 48.6 dB for c4's center-mode flip and ~43 dB for the
 coarse CPU pre-gate at c3/c4 ratios, docs/DESIGN.md §5f-5g).
 
-Usage: python bench/read_phase1.py [--min-db=44]
+Usage: python bench/read_phase1.py [--min-db=44] [--phase=phase1]
+(--phase=phase3 digests the phase-3 ladder's phase3_ab_*.log instead.)
 Reads logs only — never touches a device; safe while the relay is down.
 """
 import glob
@@ -20,14 +21,14 @@ import sys
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
 
 
-def load_ab():
+def load_ab(phase="phase1"):
     runs = {}
     # per-variant printed line, e.g. "c4   coarse+ilv:  6.123 ms  339.1
     # Mrays/s  band=[...]" — the salvage path for a run that crashed
     # before its closing JSON record (no stats available then)
     line_pat = re.compile(
         r"^(\w+)\s+(\S+):\s+([\d.]+) ms\s+([\d.]+) Mrays/s")
-    for p in sorted(glob.glob(os.path.join(OUT, "phase1_ab_*.log"))):
+    for p in sorted(glob.glob(os.path.join(OUT, phase + "_ab_*.log"))):
         rec = None
         partial = {}
         preset = None
@@ -49,20 +50,20 @@ def load_ab():
             rec = {"preset": preset, "variants": partial,
                    "partial": True}
         if rec:
-            name = os.path.basename(p)[len("phase1_"):-len(".log")]
+            name = os.path.basename(p)[len(phase) + 1:-len(".log")]
             if rec.get("partial"):
                 name += " (PARTIAL — crashed before JSON)"
             runs[name] = rec
     return runs
 
 
-def load_psnr():
+def load_psnr(phase="phase1"):
     """{preset: {variant: (db, ref)}} — prefers the rm0 (full-res march
     reference) comparison when both are printed."""
     out = {}
     pat = re.compile(r"^\s*(\S+) vs (\S+):\s*([\d.]+) dB")
-    for p in sorted(glob.glob(os.path.join(OUT, "phase1_psnr_*.log"))):
-        preset = os.path.basename(p)[len("phase1_psnr_"):-len(".log")]
+    for p in sorted(glob.glob(os.path.join(OUT, phase + "_psnr_*.log"))):
+        preset = os.path.basename(p)[len(phase) + 6:-len(".log")]
         d = out.setdefault(preset, {})
         for line in open(p):
             m = pat.match(line)
@@ -76,10 +77,12 @@ def load_psnr():
 def main():
     min_db = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
                    if a.startswith("--min-db")), 44.0)
-    ab = load_ab()
-    psnr = load_psnr()
+    phase = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                  if a.startswith("--phase")), "phase1")
+    ab = load_ab(phase)
+    psnr = load_psnr(phase)
     if not ab:
-        print("no phase1_ab_*.log captures under bench/out/ yet")
+        print(f"no {phase}_ab_*.log captures under bench/out/ yet")
         return 1
     for run, rec in ab.items():
         preset = rec["preset"]
