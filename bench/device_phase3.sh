@@ -51,6 +51,9 @@ TMO=3600 run windma_c5 env VOLQ_ABLATE=windma python bench/flag_ab.py c5 base
 # (no PSNR gate); coarse+res rides the coarse gate (45.15 dB — fails
 # the 48 dB floor; measured for the ladder's completeness).
 TMO=4800 run ab_c4res python bench/flag_ab.py c4 base bands3+res bands4+res bands3 coarse+res
+# the per-step fidelity mode is window-heavy too (win_hazard 577) and
+# bands+res is EXACT, so it applies without any quality question
+TMO=3600 run ab_c4psres python bench/flag_ab.py c4 perstep perstep+bands3+res
 
 # 5) c5 single-chip: banded resident canvas on the shipped coarse+ilv
 # preset (base ships coarse+ilv; bands2+res fits the 11 MB budget)
