@@ -49,20 +49,43 @@ TMO=3600 run windma_c5 env VOLQ_ABLATE=windma python bench/flag_ab.py c5 base
 
 # 4) c4 resident-canvas ladder (<8 ms target).  bands*+res is EXACT
 # (no PSNR gate); coarse+res rides the coarse gate (45.15 dB — fails
-# the 48 dB floor; measured for the ladder's completeness).
-TMO=4800 run ab_c4res python bench/flag_ab.py c4 base bands3+res bands4+res bands3 coarse+res
+# the 48 dB floor; measured for the ladder's completeness); cs70+res
+# is the sigma-canvas middle (PSNR-gated below, expected ~48-51 dB at
+# scale 0.70 vs coarse's 0.57).  Roofline: c4's windows are 2.0 GB of
+# its 2.14 GB/frame HBM traffic — res aims at the dominant term.
+TMO=6000 run ab_c4res python bench/flag_ab.py c4 base bands3+res bands4+res bands3 coarse+res cs70+res cs70+bands2+res
+TMO=2400 run psnr_c4s python bench/psnr_c3.py c4 base cs70 rm0
 # the per-step fidelity mode is window-heavy too (win_hazard 577) and
 # bands+res is EXACT, so it applies without any quality question
 TMO=3600 run ab_c4psres python bench/flag_ab.py c4 perstep perstep+bands3+res
 
 # 5) c5 single-chip: banded resident canvas on the shipped coarse+ilv
-# preset (base ships coarse+ilv; bands2+res fits the 11 MB budget)
+# preset (base ships coarse+ilv; bands2+res fits the VMEM budget).
+# Roofline: c5's windows are 6.4 GB of 6.9 GB/frame even after the
+# coarse+ilv diet.
 TMO=4800 run ab_c5res python bench/flag_ab.py c5 base bands2+res bands3+res
+
+# 5b) c3 headline margin via sigma+res: windows are 677 MB of c3's
+# 1.13 GB/frame; cs68 fits un-banded (12.6 MB), cs75+bands2 at 9.2 MB.
+# PSNR gate: scale 0.68/0.75 vs the 0.55 march ratio.
+TMO=6000 run ab_c3res python bench/flag_ab.py c3 base cs68+res cs75+bands2+res
+TMO=2400 run psnr_c3s python bench/psnr_c3.py c3 base cs68 cs75 rm0
 
 # 6) fresh in-process ablation breakdown on the HEAD kernel (the
 # round-2/3 breakdowns predate ~1.5 kLoC of kernel change) — targets
 # the next diet
 TMO=3600 run ablate_c3 python bench/ablate_c3.py c3
 TMO=3600 run ablate_c4 python bench/ablate_c3.py c4
+
+# 7) redo the fly-through GIF with a fly-sized rect: the phase-2
+# capture (dolly 0.92 deep into the near-fade) counted rect_overflow
+# ~400/1024 and shift_clamped up to 13k mid-flight — visible clipping.
+# Gentler path + rect 192 / K 8 (the K budget scales with rect/march
+# ratio) keeps the counters near the base budget while still entering
+# the near-fade shell.
+TMO=3600 run gif_fly2 python -m volq.cli --preset c3 --frames 150 \
+    --dolly 0.55 --orbit 40 \
+    --set render.warp_rect=192 --set render.warp_shift_max=8 \
+    --gif docs/images/c3_flythrough.gif --gif-width 640
 
 echo "PHASE3 DONE"

@@ -70,6 +70,10 @@ def variant_cfg(cfg, name):
             rr = dataclasses.replace(r, warp_canvas_fp32=True)
         elif part == "res":
             rr = dataclasses.replace(r, warp_canvas_vmem=1)
+        elif part.startswith("cs"):
+            # e.g. cs70 = warp_canvas_scale 0.70 (replaces warp_coarse)
+            rr = dataclasses.replace(r, warp_canvas_scale=int(part[2:])
+                                     / 100.0, warp_coarse=0)
         elif part.startswith("bands"):
             rr = dataclasses.replace(r, warp_bands=int(part[5:]))
         else:

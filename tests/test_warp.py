@@ -1020,3 +1020,67 @@ def test_bands_config_validation():
     with pytest.raises(ValueError, match="fused"):
         dataclasses.replace(base, render=dataclasses.replace(
             r, engine="warp", warp_canvas_vmem=1, warp_pallas=False))
+
+
+def test_warp_canvas_scale_matches_oracle(tiny_cfg, tiny_lit_cfg):
+    """warp_canvas_scale composites at an ARBITRARY cell resolution
+    between the march grid and pixels (generalizing warp_coarse, whose
+    cells are march cells); the oracle mirrors the scaled fractional-
+    hat placement (cell2march factor) and the finish upsample."""
+    cases = [
+        (_warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                  warp_canvas_scale=0.75), 2e-5),
+        # + interleave + resident canvas, center-lit bf16 paired (the
+        # c4-class shipping combination if the sigma ladder wins)
+        (_warpify(tiny_lit_cfg, warp_pallas=True, warp_march_rect=32,
+                  warp_canvas_scale=0.75, warp_interleave=1,
+                  warp_fp32=False, warp_canvas_fp32=False,
+                  light_mode="center", warp_pair=1,
+                  warp_canvas_vmem=1), 2 * 4.0 / 256.0),
+    ]
+    for cfg, tol in cases:
+        state, camera, light = setup(cfg)
+        lvol = None
+        if cfg.render.light_steps:
+            lvol = np.asarray(bake_light_volumes(
+                state.volumes, jnp.asarray(light.direction),
+                axis=dominant_axis(cfg.light.direction)))
+        d, img, _ = _diff(cfg, state, camera, light, light_volumes=lvol)
+        assert img[..., 3].max() > 0.05
+        assert d < tol, f"canvas_scale: max diff {d}"
+
+
+def test_warp_canvas_scale_quality_between_coarse_and_full(tiny_cfg):
+    """The sigma canvas must sit between coarse and full-res composite
+    quality: PSNR(sigma=0.8) > PSNR(coarse) vs the full-res render."""
+    full = _warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32)
+    state, camera, light = setup(full)
+    a, _ = render_only(state, camera, light, full)
+
+    def psnr(cfgx):
+        b, _ = render_only(state, camera, light, cfgx)
+        mse = float(np.mean((np.asarray(a, np.float64)
+                             - np.asarray(b, np.float64)) ** 2))
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    p_sig = psnr(_warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                          warp_canvas_scale=0.8))
+    p_co = psnr(_warpify(tiny_cfg, warp_pallas=True, warp_march_rect=32,
+                         warp_coarse=1))
+    assert p_sig > p_co, (p_sig, p_co)
+    assert p_sig > 30.0, p_sig
+
+
+def test_canvas_scale_config_validation():
+    base = SceneConfig()
+    r = dataclasses.replace(base.render, engine="warp", warp_pallas=True,
+                            warp_rect=48, warp_march_rect=32)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, warp_coarse=1, warp_canvas_scale=0.8))
+    with pytest.raises(ValueError, match="march ratio"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, warp_canvas_scale=0.3))
+    with pytest.raises(ValueError, match="fused"):
+        dataclasses.replace(base, render=dataclasses.replace(
+            r, warp_pallas=False, warp_canvas_scale=0.8))

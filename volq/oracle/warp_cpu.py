@@ -188,15 +188,20 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     z = np.where(valid, vz, np.inf)
     order = np.argsort(z, kind="stable")
 
-    # coarse canvas mode (warp_coarse): composite at MARCH-CELL
-    # resolution, one bilinear cell->pixel upsample at the end —
-    # mirror of the fused kernel's coarse placement + the device
-    # _canvas_finish (render/warp.py)
-    coarse = bool(r.warp_coarse)
+    # cell-canvas modes (warp_coarse: cells = march cells;
+    # warp_canvas_scale: cells at an arbitrary scale): composite at
+    # CELL resolution, one bilinear cell->pixel upsample at the end —
+    # mirror of the fused kernel's fractional-hat placement + the
+    # device _canvas_finish (render/warp.py)
+    coarse = bool(r.warp_coarse or r.warp_canvas_scale)
     if coarse:
         from volq.render.kernel import canvas_geom
         g = canvas_geom(cfg, h_local)
         ratio_c = f32(g.ratio)
+        # march cells per canvas cell (the kernel's static C2M; exactly
+        # 1.0 under warp_coarse)
+        c2m = f32(np.float32((RM - 1) / max(RP - 1, 1))
+                  / np.float32(g.ratio))
         hcT = g.pad + g.hc_img + g.pad + 2
         wcT = g.pad + g.wc_img + g.pad + 2
         C = np.zeros((3, hcT, wcT), np.float64)
@@ -404,14 +409,14 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
             ay = f32(g.pad) + (f32(sy0[pi]) - f32(y_start)) * ratio_c
             ax = f32(g.pad) + f32(sx0[pi]) * ratio_c
             cy0, cx0 = int(np.floor(ay)), int(np.floor(ax))
-            sup = RM_pi + 1
+            sup = g.sup
             jv_ = np.arange(sup, dtype=np.float32)
             mv_ = np.arange(RM_pi, dtype=np.float32)
             Uy = np.maximum(
-                0.0, 1.0 - np.abs((jv_[:, None] - f32(ay - cy0))
+                0.0, 1.0 - np.abs((jv_[:, None] - f32(ay - cy0)) * c2m
                                   - mv_[None, :]))        # [sup, RM]
             Ux = np.maximum(
-                0.0, 1.0 - np.abs((jv_[:, None] - f32(ax - cx0))
+                0.0, 1.0 - np.abs((jv_[:, None] - f32(ax - cx0)) * c2m
                                   - mv_[None, :]))        # [sup, RM]
             if quant:
                 Uy, Ux = _q16(Uy), _q16(Ux)

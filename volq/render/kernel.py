@@ -167,13 +167,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # resident canvas can evict a resident bank back to streaming).
     RES = fused and bool(r.warp_canvas_vmem)
     res_reserve = canvas.size * canvas.dtype.itemsize if RES else 0
-    if RES and res_reserve > 11 * 2 ** 20:
+    if RES and res_reserve > 13 * 2 ** 20:
         raise ValueError(
             f"warp_canvas_vmem: the fused canvas is "
             f"{res_reserve / 2**20:.1f} MB — too large to keep "
-            f"VMEM-resident (~11 MB budget of the 16 MB VMEM). Shrink it "
-            f"with warp_coarse (march-cell canvas) and/or warp_bands "
-            f"(render in horizontal pixel bands).")
+            f"VMEM-resident (~13 MB budget of the 16 MB VMEM; Mosaic "
+            f"fails with a clear allocation error near the line). "
+            f"Shrink it with warp_coarse / warp_canvas_scale (cell "
+            f"canvas) and/or warp_bands (horizontal pixel bands).")
     RP = r.warp_rect
     assert RP % 16 == 0, "warp_rect must be a multiple of 16 (bf16 tiles)"
     from volq.render.warp import march_rect, needs_row_fan, \
@@ -365,6 +366,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         WWB = WW - WWA
         ILV = bool(cg.ilv)
         COARSE = bool(cg.coarse)
+        # CELLS: the canvas axes are cells (1/cg.ratio px) rather than
+        # pixels — warp_coarse (cells = march cells) or the generalized
+        # warp_canvas_scale (arbitrary scale); placement maps canvas
+        # cells to march cells by the static C2M factor (exactly 1.0 in
+        # coarse mode, where x * 1.0 is bit-exact)
+        CELLS = COARSE or cg.ratio != 1.0
+        C2M = float(np.float32((RM - 1) / max(RP - 1, 1))
+                    / np.float32(cg.ratio))
         cdt = canvas.dtype
         Hc_, Wc_ = cg.Hc, cg.Wc
 
@@ -1149,7 +1158,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if fused:
                 ratio_m = float(np.float32(RM - 1)
                                 / np.float32(max(RP - 1, 1)))
-                exact = RM == RP and not COARSE
+                exact = RM == RP and not CELLS
                 pdt = jnp.float32 if exact else wdt
                 pprec = jax.lax.Precision.HIGHEST if exact else prec
                 # placement position: dyf/dxu = the particle's
@@ -1162,11 +1171,13 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 iww = jax.lax.broadcasted_iota(
                     jnp.int32, (WH, 1), 0).astype(jnp.float32)
                 posy = iww - dyf            # rect row / cell offset
-                if COARSE:
-                    # canvas cells ARE march cells: identity mapping,
-                    # and the fractional hat tent IS the support (no
+                if CELLS:
+                    # canvas cells: map cell offsets to march cells by
+                    # the static C2M factor (1.0 exactly in coarse mode
+                    # — canvas cells ARE march cells there); the
+                    # fractional hat tent IS the support (no
                     # outside-rect mask — hat() is zero past it)
-                    gyp = posy
+                    gyp = posy * C2M
                 else:
                     gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
                                     posy * ratio_m, -2.0)    # [WH, 1]
@@ -1199,8 +1210,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     else:
                         ph = None
                         posx = jwn.astype(jnp.float32) - dxu
-                    if COARSE:
-                        gxp = posx
+                    if CELLS:
+                        gxp = posx * C2M
                     else:
                         gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
                                         posx * ratio_m, -2.0)
@@ -1831,6 +1842,19 @@ def canvas_geom(cfg: SceneConfig, h_local) -> CanvasGeom:
         wc_img = int(np.ceil((r.width - 1) * ratio)) + 1
         pad = RM                  # covers off-screen rect origins:
         #                           |s0|*ratio <= (RP-1)*ratio = RM-1
+    elif r.warp_canvas_scale:
+        # sigma-canvas (warp_canvas_scale): cells of 1/ratio px at an
+        # ARBITRARY scale between the march grid and pixels — the same
+        # fractional-hat placement as coarse, with the hat positions
+        # mapped march->canvas by the static cell2march factor in the
+        # kernel.  cu = the placed content's cell extent; the hat tent
+        # leaks a fraction past each end (sup = cu + 1), like coarse.
+        ratio = float(np.float32(r.warp_canvas_scale))
+        cu = int(np.ceil((RP - 1) * ratio)) + 1
+        sup = cu + 1
+        hc_img = int(np.ceil((h_local - 1) * ratio)) + 1
+        wc_img = int(np.ceil((r.width - 1) * ratio)) + 1
+        pad = cu                  # |s0|*ratio <= (RP-1)*ratio <= cu-1
     else:
         ratio = 1.0
         cu = sup = RP

@@ -1184,7 +1184,7 @@ def _canvas_finish(C, T, cfg: SceneConfig, h_local, cropped=False):
     ``cropped``: the input is already the image-extent crop (the
     sharded path crops before the binary swap to cut ICI bytes)."""
     r = cfg.render
-    if r.engine == "warp" and r.warp_coarse:
+    if r.engine == "warp" and (r.warp_coarse or r.warp_canvas_scale):
         from volq.render.kernel import canvas_geom
         g = canvas_geom(cfg, h_local)
         p0 = 0 if cropped else g.pad

@@ -156,6 +156,22 @@ class RenderConfig:
                                # exactly by the oracle.  Requires
                                # warp_pallas + warp_fused + march-res
                                # decoupling (warp_march_rect < rect). 0/1.
+    warp_canvas_scale: float = 0.0  # warp engine + pallas FUSED path:
+                               # composite at an ARBITRARY canvas
+                               # resolution of this many cells per
+                               # pixel (generalizes warp_coarse, whose
+                               # cells are march cells = the minimum
+                               # useful scale).  E.g. 0.7 shrinks the
+                               # canvas, windows, placement and RMW by
+                               # ~0.49x while keeping more compositing
+                               # resolution than coarse — the quality /
+                               # traffic knob between coarse and full
+                               # res.  PSNR-gated like coarse; mirrored
+                               # by the oracle.  Must be >= the march
+                               # ratio (RM-1)/(RP-1) (the canvas cannot
+                               # be coarser than the march content).
+                               # 0 = off.  Mutually exclusive with
+                               # warp_coarse.
     warp_interleave: int = 0   # warp engine + pallas FUSED path: store
                                # the canvas CHANNEL-INTERLEAVED
                                # ([Hc, 4*Wc], lane = 4*x + channel) so a
@@ -275,6 +291,21 @@ class SceneConfig:
         if r.warp_coarse and not (0 < r.warp_march_rect < r.warp_rect):
             raise ValueError("warp_coarse requires march-resolution "
                              "decoupling (0 < warp_march_rect < warp_rect)")
+        if r.warp_canvas_scale:
+            if not (r.warp_pallas and r.warp_fused):
+                raise ValueError("warp_canvas_scale requires the fused "
+                                 "Pallas path (warp_pallas + warp_fused)")
+            if r.warp_coarse:
+                raise ValueError("warp_canvas_scale and warp_coarse are "
+                                 "mutually exclusive (coarse IS scale = "
+                                 "the march ratio)")
+            rm = r.warp_march_rect or r.warp_rect
+            ratio_m = (rm - 1) / max(r.warp_rect - 1, 1)
+            if not (ratio_m <= r.warp_canvas_scale <= 1.0):
+                raise ValueError(
+                    f"warp_canvas_scale must be within [march ratio "
+                    f"{ratio_m:.3f}, 1.0] — the canvas cannot be coarser "
+                    f"than the march content")
         if r.warp_canvas_vmem and not (r.warp_pallas and r.warp_fused):
             raise ValueError("warp_canvas_vmem requires the fused Pallas "
                              "path (warp_pallas + warp_fused)")
