@@ -219,10 +219,66 @@ def case_c4_class_coarse_ilv_bf16c():
         TOL_BF16_FUSED_LIT
 
 
+def case_c4_class_bands_resident():
+    """The c4-class paired center-lit scene rendered in 3 pixel bands
+    with the VMEM-resident canvas (warp_bands=3 + warp_canvas_vmem=1 —
+    the round-4 exact window-traffic lever): banding is pixel-disjoint
+    and the resident canvas is storage-only, so the SAME full-frame
+    oracle budget applies as the windowed single-dispatch case."""
+    import jax.numpy as jnp
+    from volq.scene.config import c4
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c4()
+    cfg = dataclasses.replace(
+        cfg, n_particles=256,
+        render=dataclasses.replace(cfg.render, warp_bands=3,
+                                   warp_canvas_vmem=1))
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c4class_warp_pallas_bf16_bands3_resident_1080p", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
+def case_c4_class_sigma_resident():
+    """c4-class with the sigma-canvas at scale 0.70 + resident canvas
+    (warp_canvas_scale=0.7 + warp_canvas_vmem=1): the oracle mirrors
+    the scaled fractional-hat placement (cell2march) and the finish
+    upsample, so the fused-lit bf16 budget applies."""
+    import jax.numpy as jnp
+    from volq.scene.config import c4
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c4()
+    cfg = dataclasses.replace(
+        cfg, n_particles=256,
+        render=dataclasses.replace(cfg.render, warp_canvas_scale=0.7,
+                                   warp_canvas_vmem=1))
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c4class_warp_pallas_bf16_cs70_resident_1080p", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
 CASES = (case_c1_exact, case_c2_warp_fp32, case_c2_warp, case_c2_slab,
          case_c3_class_warp_lit, case_c3_class_vx64,
          case_c4_class_center_light_paired, case_c3_class_coarse_ilv,
-         case_c4_class_coarse_ilv_bf16c)
+         case_c4_class_coarse_ilv_bf16c, case_c4_class_bands_resident,
+         case_c4_class_sigma_resident)
 
 
 def main():

@@ -77,6 +77,10 @@ TMO=2400 run psnr_c3s python bench/psnr_c3.py c3 base cs68 cs75 rm0
 TMO=3600 run ablate_c3 python bench/ablate_c3.py c3
 TMO=3600 run ablate_c4 python bench/ablate_c3.py c4
 
+# 6b) refresh the on-device oracle table on the post-sigma kernel,
+# including the two new resident-canvas cases (bands3+res, cs70+res)
+TMO=5400 run device_diff python bench/device_diff.py --json=bench/out/device_diff.json
+
 # 7) redo the fly-through GIF with a fly-sized rect: the phase-2
 # capture (dolly 0.92 deep into the near-fade) counted rect_overflow
 # ~400/1024 and shift_clamped up to 13k mid-flight — visible clipping.
