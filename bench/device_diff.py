@@ -119,8 +119,9 @@ def case_c4_class_center_light_paired():
     """A config-4-class scene (1080p, shared 64^3 bank, center-sampled
     light mode, PAIRED fused march — c4's full shipped production path:
     the preset carries warp_pair=1 and the shrunk scene stays inside the
-    pairing envelope, asserted below) shrunk to 256 particles for
-    oracle speed."""
+    pairing envelope, asserted below) shrunk to 128 particles for
+    oracle speed (halved from 256 in round 4 so the whole 11-case table
+    completes on one host core; pairing still engages — asserted)."""
     import jax.numpy as jnp
     from volq.scene.config import c4
     from volq.oracle.warp_cpu import render_warp_oracle
@@ -129,8 +130,8 @@ def case_c4_class_center_light_paired():
     from volq.engine.loop import setup, render_only
 
     cfg = c4()
-    cfg = dataclasses.replace(cfg, n_particles=256)
-    assert pair_enabled(cfg, 256, True, True, True), \
+    cfg = dataclasses.replace(cfg, n_particles=128)
+    assert pair_enabled(cfg, 128, True, True, True), \
         "case must exercise the PAIRED kernel (c4's shipped mode)"
     state, camera, light = setup(cfg)
     lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
@@ -202,11 +203,11 @@ def case_c4_class_coarse_ilv_bf16c():
 
     cfg = c4()
     cfg = dataclasses.replace(
-        cfg, n_particles=256,
+        cfg, n_particles=128,
         render=dataclasses.replace(cfg.render, warp_coarse=1,
                                    warp_interleave=1,
                                    warp_canvas_fp32=False))
-    assert pair_enabled(cfg, 256, True, True, True), \
+    assert pair_enabled(cfg, 128, True, True, True), \
         "case must exercise the PAIRED diet kernel"
     state, camera, light = setup(cfg)
     lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
@@ -233,7 +234,7 @@ def case_c4_class_bands_resident():
 
     cfg = c4()
     cfg = dataclasses.replace(
-        cfg, n_particles=256,
+        cfg, n_particles=128,
         render=dataclasses.replace(cfg.render, warp_bands=3,
                                    warp_canvas_vmem=1))
     state, camera, light = setup(cfg)
@@ -260,7 +261,7 @@ def case_c4_class_sigma_resident():
 
     cfg = c4()
     cfg = dataclasses.replace(
-        cfg, n_particles=256,
+        cfg, n_particles=128,
         render=dataclasses.replace(cfg.render, warp_canvas_scale=0.7,
                                    warp_canvas_vmem=1))
     state, camera, light = setup(cfg)
