@@ -80,6 +80,22 @@ def test_cli_dump_config(capsys):
     assert cfg["n_particles"] == 64
 
 
+def test_cli_gif_captures_every_frame(tmp_path, capsys):
+    """--gif with --frames-per-launch > 1: batched launches only return
+    the LAST frame of each dispatch, so the CLI must force fpl=1 (with a
+    note) — the GIF gets ALL --frames frames, not every fpl-th.  The
+    camera orbits so frames differ (PIL merges identical consecutive
+    frames into one longer-duration frame, which would mask the count)."""
+    gif = tmp_path / "anim.gif"
+    rc = main(["--preset", "c1", "--frames", "3", "--frames-per-launch",
+               "2", "--gif", str(gif), "--gif-width", "64", "--orbit",
+               "90", "--out", str(tmp_path / "g")] + _SHRINK)
+    assert rc == 0
+    from PIL import Image
+    with Image.open(gif) as im:
+        assert getattr(im, "n_frames", 1) == 3
+
+
 def test_cli_camera_path(tmp_path):
     """--dolly/--orbit animate the camera across the run: the final
     frame must differ from the first (the scene is static otherwise,

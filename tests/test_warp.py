@@ -126,6 +126,26 @@ def test_warp_lit_matches_oracle(tiny_lit_cfg):
     assert np.asarray(img_unlit)[..., :3].sum() > img[..., :3].sum()
 
 
+def test_warp_light_volumes_with_zero_steps_renders_unlit(tiny_lit_cfg):
+    """Passing baked light volumes while light_steps=0 must be a no-op:
+    the kernel drops the bake so ``lit`` gates identically there and in
+    the host-side mirrors (pair_enabled / stack_bank_resident) — the
+    frame is bit-identical to the plain unlit render."""
+    from volq.render import render_frame
+    cfg = _warpify(tiny_lit_cfg)
+    cfg0 = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, light_steps=0))
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img_w, _ = render_frame(state.particles, state.volumes, camera, light,
+                            cfg0, light_volumes=lvol)
+    img_n, _ = render_frame(state.particles, state.volumes, camera, light,
+                            cfg0, light_volumes=None)
+    assert np.array_equal(np.asarray(img_w), np.asarray(img_n))
+    assert np.asarray(img_n)[..., 3].max() > 0.05
+
+
 def test_warp_bf16_matches_quantized_oracle(tiny_cfg):
     """warp_fp32=False + bf16 canvas: bf16 weights/slabs/intermediates/
     images/canvas on device; the oracle quantizes identically.  Budget:

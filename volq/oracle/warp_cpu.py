@@ -85,6 +85,10 @@ def render_warp_oracle(particles, volumes, camera, light, cfg,
     W, H = r.width, r.height
     if h_local is None:
         h_local = H
+    if light_volumes is not None and r.light_steps <= 0:
+        # mirror of render_warp/render_warp_canvas: light_steps <= 0
+        # means unlit — the bake is dropped before any lit gating
+        light_volumes = None
     RP = r.warp_rect
     K = r.warp_shift_max
     S = r.steps

@@ -1225,6 +1225,12 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
     r = cfg.render
     if h_local is None:
         h_local = r.height
+    if light_volumes is not None and r.light_steps <= 0:
+        # no light march requested: drop the bake HERE so every
+        # downstream path (fused kernel, XLA march, fan, host-side
+        # pairing/residency mirrors, oracle) gates ``lit`` identically —
+        # kernel.march_warp_pallas applies the same normalization
+        light_volumes = None
     N = particles.age.shape[0]
     particles, volumes, camera, light_volumes = permute_for_march(
         particles, volumes, camera, light_volumes, cfg)
@@ -1408,6 +1414,8 @@ def render_warp(particles: Particles, volumes, camera: Camera, light: Light,
     r = cfg.render
     if h_local is None:
         h_local = r.height
+    if light_volumes is not None and r.light_steps <= 0:
+        light_volumes = None       # see render_warp_canvas: unlit means unlit
     bands = int(r.warp_bands)
     if bands > 1 and y_start == 0 and h_local == r.height:
         if (slab_banks is None and r.warp_pallas
