@@ -10,12 +10,16 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p bench/out
+FAILED=0
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
   timeout "$TMO" "$@" 2>&1 | tee "bench/out/phase3_${name}.log" | tail -40
   rc=${PIPESTATUS[0]}
   echo "=== $name rc=$rc ==="
+  if [ "$rc" -ne 0 ]; then
+    FAILED=$((FAILED + 1))
+  fi
   if [ "$rc" -eq 124 ]; then
     if ! timeout 150 python -c "import jax; jax.devices()" >/dev/null 2>&1
     then
@@ -55,5 +59,13 @@ TMO=5400 run device_diff python bench/device_diff.py --json=bench/out/device_dif
 # 5) c4 per-step fidelity mode with the exact banded resident canvas
 TMO=3600 run ab_c4psres python bench/flag_ab.py c4 perstep perstep+bands3+res
 
+# The DONE marker means every step ran clean; a partial phase must be
+# re-run, so it exits non-zero and leaves no marker (round-4 advisor
+# finding: rc!=0 was echoed and ignored, making DONE signal success
+# even when every step failed).
+if [ "$FAILED" -ne 0 ]; then
+  echo "PHASE3B INCOMPLETE: $FAILED step(s) failed — no DONE marker"
+  exit 1
+fi
 echo "PHASE3B DONE"
 touch bench/out/PHASE3B_DONE
