@@ -49,16 +49,26 @@ from volq.scene.config import SceneConfig
 _EPS = 1e-6
 
 # perf-triage switch, NOT a user feature:
-# VOLQ_ABLATE=weights|dot1|dot2|fan|up|comp|windma removes one class of
-# in-kernel work so A/B timing can attribute the march cost (results
-# are wrong images; never set outside experiments).  Read once at
-# import; bench/ablate_c3.py monkeypatches the module global instead.
+# VOLQ_ABLATE=weights|dot1|dot2|fan|up|comp|windma|march removes one
+# class of in-kernel work so A/B timing can attribute the march cost;
+# classes compose with "+" ("fan+up+comp+windma" strips the whole
+# epilogue, sizing the residual base the single-class marginals hide
+# because MXU/VPU/DMA overlap).  Results are wrong images; never set
+# outside experiments.  Read once at import; bench/ablate_c3.py
+# monkeypatches the module global instead.
 import os as _os
 import sys as _sys
 _ABLATE = _os.environ.get("VOLQ_ABLATE", "")
 if _ABLATE:
     print(f"volq: VOLQ_ABLATE={_ABLATE!r} is set — kernels will produce "
           "WRONG images (perf-attribution mode)", file=_sys.stderr)
+
+
+def _abl(tag: str) -> bool:
+    """Ablation-mode membership: _ABLATE is a +-joined set of classes
+    ("fan+up+comp" removes all three), so compound ablations can size
+    the kernel's residual base cost, not just one class's marginal."""
+    return tag in _ABLATE.split("+")
 
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
@@ -499,7 +509,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 q's ISSUE POINT moves to the epilogue when it overlaps
                 its own pair partner (ov[k]==1), which also makes its
                 overlap wait see p's just-started write-back."""
-                if _ABLATE == "windma":   # skip ALL window DMAs (the
+                if _abl("windma"):   # skip ALL window DMAs (the
                     return                # pure window-traffic bound)
                 @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
                 def _wait_reuse():
@@ -628,7 +638,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         # two-class rendering) skip the whole marching body: acc stays at
         # the OVER identity set by _init.  Paired: run if EITHER member
         # is valid (the invalid one's weights are masked to zero).
-        # (_ABLATE == "march": statically skip the WHOLE march body —
+        # (_abl("march"): statically skip the WHOLE march body —
         # weights, coords, dots, slab reads — leaving epilogue + DMAs)
         vld_any = vld if PW == 1 else (vld + pread(1)[6])
 
@@ -693,7 +703,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     .astype(wdt)                             # [MR, 2V]
                 WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a2 - gsel_x)) \
                     .astype(wdt)                             # [VX, MR]
-                if _ABLATE == "weights":
+                if _abl("weights"):
                     Wy = (vox2 * 0.001).astype(wdt)
                     WxT = (iot_a2 * 0.001).astype(wdt)
 
@@ -705,7 +715,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
                 slab_cat = jnp.concatenate([pslab(0), pslab(1)],
                                            axis=1)           # [VX, 2V]
-                if _ABLATE == "dot1" and VX == V:
+                if _abl("dot1") and VX == V:
                     t1_ = Wy[:, :VX] * (1.0 + slab_cat[:1, :VX])
                 else:
                     t1_ = jax.lax.dot_general(
@@ -735,7 +745,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                             preferred_element_type=jnp.float32,
                             precision=prec)
 
-            if _ABLATE == "dot2":
+            if _abl("dot2"):
                 od = sum(p[:, :1] * 0.001 for p in y_parts) \
                     + x_parts[0][:1, :] * 0.0
             else:
@@ -748,7 +758,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     preferred_element_type=jnp.float32, precision=prec)
             acc[0] = acc[0] + od
 
-        @pl.when((vld_any > 0) if _ABLATE != "march" else (vld_any > 127))
+        @pl.when((vld_any > 0) if not _abl("march") else (vld_any > 127))
         def _march_steps():
           if PAIR:
               _march_pair()
@@ -780,7 +790,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
                 fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
             zw = lo_z + zeta * ext
-            if _ABLATE == "gxy":
+            if _abl("gxy"):
                 # constant-ish grid coords (keep the step + ray-vector
                 # dependency with ONE fma per axis): measures the
                 # per-step coord chains (fma/div/scale per axis)
@@ -822,7 +832,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 .astype(wdt)                                     # [RP, V(b)]
             WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
                 .astype(wdt)                                     # [V(a), RP]
-            if _ABLATE == "weights":       # constant weights, keep dots
+            if _abl("weights"):       # constant weights, keep dots
                 Wy = (iot_b * 0.001).astype(wdt)
                 WxT = (iot_a * 0.001).astype(wdt)
 
@@ -900,7 +910,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     slab = lerped_ref(vol_full)
                 else:
                     slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
-                if _ABLATE == "dot1" and VX == V:
+                if _abl("dot1") and VX == V:
                     # skip dot1, keep weights+dot2 (sublane-only
                     # broadcast: 2-D broadcasts of a [1,1] scalar slice
                     # don't lower).  With x-downsampled banks (VX < V)
@@ -942,7 +952,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                             precision=prec)
 
           if not lit or center:
-            if _ABLATE == "dot2":          # skip the merged contraction
+            if _abl("dot2"):          # skip the merged contraction
                 od = sum(p[:, :1] * 0.001 for p in y_parts) \
                     + sum(p[:1, :].T[:RP] * 0.0 for p in x_parts)
             else:
@@ -1081,7 +1091,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         m_prev = m
                     return outs
 
-                if _ABLATE != "fan":
+                if not _abl("fan"):
                     # center mode: the attenuation plane (img4[1]) SKIPS the
                     # fan — atten is a smooth field and the ±K px correction
                     # is visually nil on it (PSNR-gated vs per-step light;
@@ -1114,7 +1124,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     dw = jnp.maximum(dw, -jj)
                     dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
                     n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
-                    if _ABLATE != "fan":
+                    if not _abl("fan"):
                         if center:
                             img4 = shift_interp(img4[:1], dw, axis=0) \
                                 + list(img4[1:])
@@ -1186,7 +1196,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
                     .astype(pdt)                             # [WH, RM]
                 planes_m = [P2m] if one_plane else [P1m, P2m]
-                if _ABLATE != "up":
+                if not _abl("up"):
                     # the y-side contraction is shared by both window
                     # halves
                     t_list = [jax.lax.dot_general(
@@ -1225,7 +1235,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     the single channel-expanded update matrix U with
                     win += TW4 * U (TW4 = the window's own T lanes
                     spread to all 4 channel phases)."""
-                    if _ABLATE == "up":    # skip the placement matmuls
+                    if _abl("up"):    # skip the placement matmuls
                         # (scalar splat keeps the data dependency; 2-D
                         # broadcasts of [1,1] slices don't lower)
                         zs = [jnp.zeros((WH, wwn), jnp.float32)
@@ -1281,7 +1291,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 pass   # placement + RMW happen per window half below
             elif RM != RP:
                 def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
-                    if _ABLATE == "up":    # skip the upsample matmuls
+                    if _abl("up"):    # skip the upsample matmuls
                         # (scalar splat keeps the data dependency; 2-D
                         # broadcasts of [1,1] slices don't lower)
                         return jnp.zeros((RP, RP), jnp.float32) \
@@ -1322,7 +1332,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # pad buffer, no rolls.
                 def rmw(col0, wwn, placed):
                     """RMW window columns [col0, col0+wwn) of win[b_]."""
-                    if _ABLATE == "comp":   # keep DMAs, skip the RMW
+                    if _abl("comp"):   # keep DMAs, skip the RMW
                         return
                     if ILV:
                         # placed == U (channel-expanded update):
@@ -1379,10 +1389,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     def _deferred_fetch():
                         fetch_seq(k_, b_)
 
-                if _ABLATE != "windma":
+                if not _abl("windma"):
                     cinA_desc(k_, b_).wait()
                 rmw(0, WWA, xplace(0, WWA))
-                if _ABLATE != "windma":
+                if not _abl("windma"):
                     coutA_desc(k_, b_).start()
 
                 if WWB:
@@ -1390,7 +1400,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     # RMW and write back the B half SYNCHRONOUSLY
                     @pl.when(wide_ref[k_] == 1)
                     def _b_half():
-                        if _ABLATE == "windma":   # keep the compute,
+                        if _abl("windma"):   # keep the compute,
                             rmw(WWA, WWB, xplace(WWA, WWB))  # skip DMAs
                             return
                         cinB_desc(k_, b_).start()
@@ -1531,7 +1541,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
                      for i_ in range(PW)], axis=1), 0.0)
 
-            if _ABLATE != "fan":
+            if not _abl("fan"):
                 q_p = shift_packed(q_p, du, 1)
             if row_fan:
                 jjc = jax.lax.broadcasted_iota(
@@ -1553,7 +1563,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 dw = jnp.maximum(dw, -jjc)
                 dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jjc)
                 n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
-                if _ABLATE != "fan":
+                if not _abl("fan"):
                     q_p = shift_packed(q_p, dw, 0)
 
             # exps at march resolution, packed
@@ -1577,7 +1587,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             else:
                 for i_ in range(PW):
                     _write_one(i_)
-            if fused and _ABLATE != "windma":
+            if fused and not _abl("windma"):
                 if PAIR:
                     @pl.when(n == N2 - 1)
                     def _drain_q():
