@@ -155,17 +155,24 @@ def bench_c5_shard_slice(n_frames: int = 10):
 
     state, image, stats = shard_frame(state)
     _sync(image)
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        state, image, stats = shard_frame(state)
-    _sync(image)
-    dt = (time.perf_counter() - t0) / n_frames
+    # 3 windows -> a same-session band, so the row can say whether a
+    # slice-rate delta is preset cost or relay drift (the r4 488 vs r3
+    # 515-518 question could not be answered from a single window)
+    band = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            state, image, stats = shard_frame(state)
+        _sync(image)
+        band.append((time.perf_counter() - t0) / n_frames)
+    dt = sorted(band)[1]
     rays = cfg.render.width * cfg.render.height
     return {
         "config": "c5 per-chip shard slice (16k/8 particles, 4K, "
                   "animated bake, lit)",
         "frame_ms": round(dt * 1e3, 3),
         "mrays_per_chip_s": round(rays / dt / 1e6, 1),
+        "window_mrays": sorted(round(rays / w / 1e6, 1) for w in band),
         "engine_flags": engine_flags(cfg),
         "stats": {k: int(v_) for k, v_ in
                   __import__("jax").device_get(stats).items()},
