@@ -70,6 +70,12 @@ def _abl(tag: str) -> bool:
     the kernel's residual base cost, not just one class's marginal."""
     return tag in _ABLATE.split("+")
 
+
+# cap the march unroll U (0 = preset-derived): the U sweep separates
+# per-grid-step fixed cost (time grows as U shrinks) from
+# code-size/instruction-streaming cost (time SHRINKS as U shrinks)
+_FORCE_UCAP = int(_os.environ.get("VOLQ_UCAP", "0"))
+
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
 _G_ALB_R, _G_ALB_G, _G_ALB_B, _G_SX0, _G_SY0, _G_PXC, _G_PYC = range(7, 14)
@@ -269,8 +275,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                               jnp.zeros(10, jnp.float32)])[None]
 
     vidx = particles.vol_idx.astype(jnp.int32)
-    rxu2 = geom["rx_u"]                                  # [N, RP]
-    ryw2 = geom["ry_w"][..., None]                       # [N, RP, 1]
+    rxu2 = geom["rx_u"]                                  # [N, RM]
+    ryw2 = geom["ry_w"][..., None]                       # [N, RM, 1]
 
     # Volume fetch strategy, best first:
     #   1. slab_banks: ONE [S, V, V] pre-lerped block per particle
@@ -329,6 +335,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     PW = 2 if PAIR else 1
     N2 = N // PW
     MR = PW * RM
+    # (A CHB-batched per-particle gf/rxu/ryw fetch and a resident light
+    # mid-slab bank were both measured a WASH here — Pallas block
+    # pipelining already hides the small per-particle DMAs; see
+    # bench/ladders/r5_dma_ab.json — so neither ships.)
 
     if use_stack and S <= 32:
         u_cap = S if (not r.warp_fp32 or RP <= 160) else 8
@@ -346,6 +356,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         itm = 4 if r.warp_fp32 else 2
         pair_step_bytes = MR * (VX + MR) * itm * 2
         u_cap = min(u_cap, max((6 * 2 ** 20) // pair_step_bytes, 1))
+    if _FORCE_UCAP:
+        u_cap = min(u_cap, _FORCE_UCAP)
     U = next(u for u in (S, 16, 12, 8, 6, 4, 3, 2, 1)
              if S % u == 0 and u <= u_cap)
     SG = S // U
@@ -444,6 +456,17 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
              acc, geo) = rest
         n = pl.program_id(0)
         s = pl.program_id(1)
+        if _abl("body"):
+            # grid + block specs ONLY: the whole body is never traced.
+            # Pallas still runs the spec-driven fetch pipeline, so this
+            # arm prices pure grid-entry + DMA machinery with zero
+            # kernel-side scalar/vector work (DESIGN 5j discriminator).
+            return
+
+        def gfs(i_, col):
+            """Per-particle f32 scalar (pair member i_) from the geomf
+            SMEM block."""
+            return gf[i_, 0, col]
 
         if fused:
             # particle index k and window-buffer parity b: unpaired,
@@ -543,10 +566,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         def pread(i_):
             """Per-particle scalars + ray vectors (pair member i_; the
             unpaired path binds pread(0) at top level)."""
-            return (gf[i_, 0, _G_LOX], gf[i_, 0, _G_LOY],
-                    gf[i_, 0, _G_LOZ], gf[i_, 0, _G_EXT],
-                    gf[i_, 0, _G_SCALE], gf[i_, 0, _G_SZN],
-                    gf[i_, 0, _G_VALID], rxu[i_], ryw[i_])
+            return (gfs(i_, _G_LOX), gfs(i_, _G_LOY),
+                    gfs(i_, _G_LOZ), gfs(i_, _G_EXT),
+                    gfs(i_, _G_SCALE), gfs(i_, _G_SZN),
+                    gfs(i_, _G_VALID), rxu[i_], ryw[i_])
 
         (lo_x, lo_y, lo_z, ext, scale, szn, vld,
          rx_row, ry_col) = pread(0)                 # [1, RP] / [RP, 1]
@@ -570,6 +593,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             (lo_x, lo_y, lo_z, ext, scale, szn, vld,
              rx_row, ry_col) = pread(i_)
             z2 = jnp.zeros((RM, RM), jnp.float32)
+            if _abl("init"):     # skip the ray/AABB divide+sqrt chains
+                geo[i_] = scale * (rx_row * 1e-6 + ry_col * 1e-6 + z2)
+                return
             if persp:
                 rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
                 inv_n = 1.0 / rnorm
@@ -698,8 +724,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         gx, -2.0))
                 gsel_y = jnp.concatenate(gy_sel, axis=0)     # [MR, 1]
                 gsel_x = jnp.concatenate(gx_sel, axis=1)     # [1, MR]
-                Wy = (blkmask
-                      * jnp.maximum(0.0, 1.0 - jnp.abs(gsel_y - vox2))) \
+                # blkmask folds into the hat's peak: on diagonal blocks
+                # max(0, 1 - |d|) (blkmask == 1.0, the same subtraction
+                # as the explicit form), off-diagonal max(0, 0 - |d|)
+                # == +0 exactly (== 0.0 * hat) — one fewer [MR, 2V] VPU
+                # op per unrolled step, bit-identical values
+                Wy = jnp.maximum(0.0, blkmask - jnp.abs(gsel_y - vox2)) \
                     .astype(wdt)                             # [MR, 2V]
                 WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a2 - gsel_x)) \
                     .astype(wdt)                             # [VX, MR]
@@ -758,8 +788,15 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     preferred_element_type=jnp.float32, precision=prec)
             acc[0] = acc[0] + od
 
+        # "march" skips the body at RUNTIME (compiled but branch-false);
+        # "marchoff" removes it STATICALLY (never traced) — the pair
+        # discriminates whether compiled-but-skipped code costs per-step
+        # time (instruction streaming) or only the work itself does.
         @pl.when((vld_any > 0) if not _abl("march") else (vld_any > 127))
         def _march_steps():
+          if _abl("marchoff"):
+              acc[0] = acc[0] + 1e-6
+              return
           if PAIR:
               _march_pair()
               return
@@ -974,8 +1011,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
              rx_row, ry_col) = pread(i_)
             k_ = n * PW + i_
             b_ = (jnp.int32(i_) if PAIR else b) if fused else None
-            sx0 = gf[i_, 0, _G_SX0]
-            sy0 = gf[i_, 0, _G_SY0]
+            sx0 = gfs(i_, _G_SX0)
+            sy0 = gfs(i_, _G_SY0)
             # T is NOT shifted: T = 1 - P2 exactly (the OVER weights
             # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
             # weights sum to 1, so T_warped = 1 - P2_warped -- one less
@@ -1022,8 +1059,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     jnp.int32, (RM, RM), 0).astype(jnp.float32)
                 ii = jax.lax.broadcasted_iota(
                     jnp.int32, (RM, RM), 1).astype(jnp.float32)
-                px_c = gf[i_, 0, _G_PXC]
-                py_c = gf[i_, 0, _G_PYC]
+                px_c = gfs(i_, _G_PXC)
+                py_c = gfs(i_, _G_PYC)
                 rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
                 uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
                 sxs, sys = camf_r[0, 12], camf_r[0, 13]
@@ -1040,7 +1077,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
                 doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
                 dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
-                if persp:
+                if _abl("duchain"):   # skip the rational shift chains
+                    du = doy_j * 1e-6 + 0.0 * ii
+                elif persp:
                     ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
                     oy_c = (1.0 - py_c * (2.0 / H_)) * sys
                     D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
@@ -1103,7 +1142,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     else:
                         img4 = shift_interp(img4, du, axis=1)
                 if row_fan:
-                    if persp:
+                    if _abl("duchain"):
+                        dw = dox_i * 1e-6 + 0.0 * jj
+                    elif persp:
                         oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
                         ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
                         D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
@@ -1142,11 +1183,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     P1m, P2m = img4
                 elif center:
                     qm, tpm = img4
-                    P2m = 1.0 - jnp.exp(-qm)
-                    P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth atten
+                    if _abl("exps"):
+                        P2m, P1m = qm, tpm + qm
+                    else:
+                        P2m = 1.0 - jnp.exp(-qm)
+                        P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth
+                        #                             atten
                 else:
                     qm, = img4
-                    P2m = 1.0 - jnp.exp(-qm)
+                    P2m = (qm if _abl("exps")
+                           else 1.0 - jnp.exp(-qm))
                     P1m = P2m    # atten == 1: P1 degenerates to P2
             # unlit places/upsamples ONE plane (P1 is an alias of P2)
             one_plane = not lit
@@ -1175,8 +1221,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # (fractional in coarse mode) placement origin minus the
                 # window corner, in canvas y/x units (_G_AYF/_G_AXF are
                 # host-computed, the corners are the prefetched refs)
-                dyf = gf[i_, 0, _G_AYF] - oy_ref[k_].astype(jnp.float32)
-                dxu = gf[i_, 0, _G_AXF] \
+                dyf = gfs(i_, _G_AYF) - oy_ref[k_].astype(jnp.float32)
+                dxu = gfs(i_, _G_AXF) \
                     - ox_ref[k_].astype(jnp.float32) * (1.0 / cg.e)
                 iww = jax.lax.broadcasted_iota(
                     jnp.int32, (WH, 1), 0).astype(jnp.float32)
@@ -1255,7 +1301,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     #                   = c1[l%4]*P1p + c2[l%4]*P2p
                     H, ph = _hat_x(off, wwn)                 # [RM, wwn]
                     phf = ph.astype(jnp.float32)
-                    alb = [gf[i_, 0, _G_ALB_R + ch] for ch in range(3)]
+                    alb = [gfs(i_, _G_ALB_R + ch) for ch in range(3)]
 
                     def lanevec(c0, c1, c2, c3):
                         return jnp.where(
@@ -1317,7 +1363,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if not fused:
                 Tpl = 1.0 - P2
                 for ch in range(3):
-                    alb = gf[0, 0, _G_ALB_R + ch]
+                    alb = gfs(0, _G_ALB_R + ch)
                     img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
                                              + lightf_r[0, 3 + ch] * P2)
                                       ).astype(img_out.dtype)
@@ -1367,7 +1413,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     T2 = Tw * P2h
                     T1 = T2 if one_plane else Tw * P1h
                     for ch in range(3):
-                        alb = gf[i_, 0, _G_ALB_R + ch]
+                        alb = gfs(i_, _G_ALB_R + ch)
                         if one_plane:
                             cc = alb * (lightf_r[0, ch]
                                         + lightf_r[0, 3 + ch])
@@ -1451,11 +1497,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             doyj_i, D_ic_i, A_i_i, vm_i = [], [], [], []
             doxi_i, Bj_i, Dcj_i = [], [], []
             for i_ in range(PW):
-                px_c = gf[i_, 0, _G_PXC]
-                py_c = gf[i_, 0, _G_PYC]
-                sx0 = gf[i_, 0, _G_SX0]
-                sy0 = gf[i_, 0, _G_SY0]
-                vldi = gf[i_, 0, _G_VALID]
+                px_c = gfs(i_, _G_PXC)
+                py_c = gfs(i_, _G_PYC)
+                sx0 = gfs(i_, _G_SX0)
+                sy0 = gfs(i_, _G_SY0)
+                vldi = gfs(i_, _G_VALID)
                 doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
                 doyj_i.append(doy_j)
                 # f32 on the lane concat: Mosaic cannot relayout i1
@@ -1493,7 +1539,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
             doyj_p = rcat(doyj_i)                # [RM, MR]
             vmask = bcat(vm_i) > 0.5
-            if persp:
+            if _abl("duchain"):   # skip the 2-D rational shift chains
+                du = doyj_p * 1e-6
+            elif persp:
                 D_ij = bcat(D_ic_i) + doyj_p * uzc
                 du = safe_div(doyj_p * bcat(A_i_i), D_ij)
             else:
@@ -1535,7 +1583,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if center:
                 a1 = acc[1]
                 se_p = bcat([jnp.broadcast_to(
-                    gf[i_, 0, _G_SCALE] * gf[i_, 0, _G_EXT], (1, RM))
+                    gfs(i_, _G_SCALE) * gfs(i_, _G_EXT), (1, RM))
                     for i_ in range(PW)])
                 t_p = se_p * jnp.maximum(jnp.concatenate(
                     [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
@@ -1546,7 +1594,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if row_fan:
                 jjc = jax.lax.broadcasted_iota(
                     jnp.int32, (RM, 1), 0).astype(jnp.float32)
-                if persp:
+                if _abl("duchain"):
+                    dw = bcat(doxi_i) * 1e-6 + 0.0 * doyj_p
+                elif persp:
                     D_ij2 = jnp.concatenate(
                         [Dcj_i[i_] + doxi_i[i_] * rzc
                          for i_ in range(PW)], axis=1)
@@ -1567,8 +1617,12 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     q_p = shift_packed(q_p, dw, 0)
 
             # exps at march resolution, packed
-            P2m_p = 1.0 - jnp.exp(-q_p)
-            P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
+            if _abl("exps"):
+                P2m_p = q_p
+                P1m_p = t_p + q_p if center else q_p
+            else:
+                P2m_p = 1.0 - jnp.exp(-q_p)
+                P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
             pres = [(P1m_p[:, i_ * RM:(i_ + 1) * RM],
                      P2m_p[:, i_ * RM:(i_ + 1) * RM])
                     for i_ in range(PW)]
@@ -1579,6 +1633,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             @pl.when(n == 0)
             def _zero():
                 clamp_out[0, 0] = 0
+            if _abl("writeoff"):   # skip the WHOLE epilogue: with
+                return             # march+init+windma+writeoff the body
+            #                        is grid machinery + predicates only
             if PAIR:
                 pres, nc_pair = _fan_pair()
                 clamp_out[0, 0] = clamp_out[0, 0] + nc_pair
