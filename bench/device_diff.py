@@ -275,11 +275,50 @@ def case_c4_class_sigma_resident():
         TOL_BF16_FUSED_LIT
 
 
+def case_c5_class_4k_anim_coarse_ilv():
+    """A config-5-class scene exactly as SHIPPED single-chip: 4K frame,
+    time-animated 4D-noise bank baked IN-FRAME at t>0 (the bank and the
+    light volumes and slab banks all rebuilt from it in-jit, as the
+    animated frame loop does), paired center light, coarse+interleaved
+    canvas, bf16 — shrunk to 96 particles for float64-oracle speed (the
+    4K footprint is ~4x the 1080p cases').  This is the one production
+    layout (preset c5 ships warp_coarse=1 + warp_interleave=1,
+    scene/config.py c5) that had no on-device full-frame row before
+    round 5."""
+    import jax.numpy as jnp
+    from volq.scene.config import c5
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.render.kernel import pair_enabled
+    from volq.volume.bake import bake_bank_4d
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c5()
+    cfg = dataclasses.replace(cfg, n_particles=96)
+    assert pair_enabled(cfg, 96, True, True, True), \
+        "case must exercise the PAIRED kernel (c5's shipped mode)"
+    state, camera, light = setup(cfg)
+    v = cfg.volume
+    volumes = bake_bank_4d(v.bank_size, v.size, v.seed, jnp.float32(0.37),
+                           octaves=v.octaves, noise_scale=v.noise_scale,
+                           time_scale=v.time_scale, cutoff=v.cutoff,
+                           edge=v.edge)   # the in-frame 4D re-bake, t > 0
+    state = state._replace(volumes=volumes)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c5class_warp_pallas_bf16_4k_anim4d_coarse_ilv_paired", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
 CASES = (case_c1_exact, case_c2_warp_fp32, case_c2_warp, case_c2_slab,
          case_c3_class_warp_lit, case_c3_class_vx64,
          case_c4_class_center_light_paired, case_c3_class_coarse_ilv,
          case_c4_class_coarse_ilv_bf16c, case_c4_class_bands_resident,
-         case_c4_class_sigma_resident)
+         case_c4_class_sigma_resident, case_c5_class_4k_anim_coarse_ilv)
 
 
 def main():

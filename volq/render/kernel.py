@@ -75,6 +75,15 @@ def _abl(tag: str) -> bool:
 # per-grid-step fixed cost (time grows as U shrinks) from
 # code-size/instruction-streaming cost (time SHRINKS as U shrinks)
 _FORCE_UCAP = int(_os.environ.get("VOLQ_UCAP", "0"))
+# triage: force per-n input specs to CONSTANT index maps ("pern" =
+# gf/rxu/ryw, "mid" = the streamed light mid-slabs; '+'-composable).
+# Values are then garbage (block 0 for every n) — floor-arm A/Bs only,
+# prices the per-n block-change machinery itself.
+_CONSTSPEC = _os.environ.get("VOLQ_CONSTSPEC", "")
+
+
+def _cspec(tag: str) -> bool:
+    return tag in _CONSTSPEC.split("+")
 
 # geomf packing (per-particle f32 scalars; one [1, 16] SMEM block per n)
 _G_LOX, _G_LOY, _G_LOZ, _G_EXT, _G_SCALE, _G_SZN, _G_VALID = range(7)
@@ -1712,8 +1721,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         vol_specs = [vol_full_spec()]
     else:
         vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
-    per_n_smem = pl.BlockSpec((PW, 1, _GF),
-                              lambda n, s, *pf: (n, 0, 0),
+    _pn = (lambda n, s, *pf: (0, 0, 0)) if _cspec("pern") \
+        else (lambda n, s, *pf: (n, 0, 0))
+    per_n_smem = pl.BlockSpec((PW, 1, _GF), _pn,
                               memory_space=pltpu.SMEM)
     const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
                               memory_space=pltpu.SMEM)
@@ -1732,6 +1742,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 def imap(n, s, v, f, vl, *pf, i=i):
                     k = n * PW + i
                     return (jnp.where(vl[k] == 0, 0, v[k]), MID, 0, 0)
+                if _cspec("mid"):
+                    return pl.BlockSpec((1, 1, VX, V),
+                                        lambda n, s, *pf: (0, MID, 0, 0),
+                                        memory_space=pltpu.VMEM)
                 return pl.BlockSpec((1, 1, VX, V), imap,
                                     memory_space=pltpu.VMEM)
             in_specs += [stack_mid_spec(i) for i in range(PW)]
@@ -1742,10 +1756,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                        else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((PW, 1, RM), lambda n, s, *pf: (n, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((PW, RM, 1), lambda n, s, *pf: (n, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((PW, 1, RM), _pn, memory_space=pltpu.VMEM),
+        pl.BlockSpec((PW, RM, 1), _pn, memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
     ]
