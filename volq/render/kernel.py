@@ -76,9 +76,10 @@ def _abl(tag: str) -> bool:
 # code-size/instruction-streaming cost (time SHRINKS as U shrinks)
 _FORCE_UCAP = int(_os.environ.get("VOLQ_UCAP", "0"))
 # triage: force per-n input specs to CONSTANT index maps ("pern" =
-# gf/rxu/ryw, "mid" = the streamed light mid-slabs; '+'-composable).
-# Values are then garbage (block 0 for every n) — floor-arm A/Bs only,
-# prices the per-n block-change machinery itself.
+# gf/rxu/ryw, "mid" = the streamed light mid-slabs, "stack" = the
+# per-particle volume slab stacks; '+'-composable).  Values are then
+# garbage (block 0 for every n) — floor-arm A/Bs only, prices the
+# per-n block-change machinery itself.
 _CONSTSPEC = _os.environ.get("VOLQ_CONSTSPEC", "")
 
 
@@ -1704,6 +1705,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         def imap(n, s, v, f, vl, *pf, i=i):
             k = n * PW + i
             return (jnp.where(vl[k] == 0, 0, v[k]), 0, 0, 0)
+        if _cspec("stack"):
+            return pl.BlockSpec((1, S, VX, V),
+                                lambda n, s, *pf: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
         return pl.BlockSpec((1, S, VX, V), imap, memory_space=pltpu.VMEM)
 
     def stack_res_spec():
