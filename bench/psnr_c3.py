@@ -76,6 +76,9 @@ def variant_cfg(cfg, name):
                                      / 100.0, warp_coarse=0)
         elif part.startswith("bands"):
             rr = dataclasses.replace(r, warp_bands=int(part[5:]))
+        elif part.startswith("pk"):
+            # e.g. pk4 = warp_pack 4 (QP pairs per grid entry)
+            rr = dataclasses.replace(r, warp_pack=int(part[2:]))
         else:
             raise SystemExit(f"unknown variant {part}")
         cfg = dataclasses.replace(cfg, render=rr)

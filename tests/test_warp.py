@@ -830,6 +830,54 @@ def test_warp_coarse_pair_matches_unpaired(tiny_cfg):
     assert d < 2e-5, f"coarse paired vs unpaired: max diff {d}"
 
 
+def test_warp_pack_bit_identical(tiny_cfg, tiny_lit_cfg):
+    """warp_pack runs QP consecutive pairs inside ONE Pallas grid entry
+    (kernel.py _pair_iter): identical per-pair ops in identical order —
+    the canvas must be BIT-identical to warp_pack=1 on every backend
+    (unlike pairing, no dot shape changes), across the unpaired-unlit,
+    paired-center-lit, and coarse+interleaved layouts."""
+    lit_center = dataclasses.replace(
+        _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                 warp_canvas_fp32=False, warp_pair=1),
+        camera=CameraConfig(eye=(0.2, 0.4, -5.0), look_at=(0, 0, 0)))
+    lit_center = dataclasses.replace(lit_center, render=dataclasses.replace(
+        lit_center.render, light_mode="center"))
+    cases = [
+        _warpify(tiny_cfg, warp_pallas=True),                 # unpaired
+        lit_center,                                           # paired
+        _warpify(tiny_cfg, warp_pallas=True,                  # coarse+ilv
+                 warp_march_rect=32, warp_coarse=1, warp_interleave=1,
+                 warp_pair=1),
+    ]
+    for cfg in cases:
+        # 8 particles in ONE kernel invocation so pack=4 really packs
+        # (paired: 4 pairs); _warpify's chunk=4 would cap QP at 2
+        cfg = dataclasses.replace(
+            cfg, n_particles=8, render=dataclasses.replace(
+                cfg.render, warp_chunk=8))
+        state, camera, light = setup(cfg)
+        ref, ref_stats = render_only(state, camera, light, cfg)
+        ref = np.asarray(ref, np.float64)
+        assert ref[..., 3].max() > 0.05
+        for pack in (2, 4):
+            cfgp = dataclasses.replace(cfg, render=dataclasses.replace(
+                cfg.render, warp_pack=pack))
+            img, stats = render_only(state, camera, light, cfgp)
+            d = np.abs(np.asarray(img, np.float64) - ref).max()
+            assert d == 0.0, \
+                f"warp_pack={pack} not bit-identical (max diff {d})"
+            # counted losses must not change either
+            for key in ("rect_overflow", "shift_clamped"):
+                if key in ref_stats:
+                    assert int(stats[key]) == int(ref_stats[key])
+
+
+def test_warp_pack_validation():
+    import pytest as _pt
+    with _pt.raises(ValueError, match="warp_pack"):
+        SceneConfig(render=RenderConfig(engine="warp", warp_pack=3))
+
+
 def test_warp_coarse_psnr_vs_fullres(tiny_cfg):
     """Coarse compositing is a PSNR-gated approximation of full-res
     compositing (like march-resolution decoupling itself): the two

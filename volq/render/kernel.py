@@ -372,6 +372,23 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
              if S % u == 0 and u <= u_cap)
     SG = S // U
 
+    # ---- grid packing (warp_pack, DESIGN 5k): QP pairs per entry ----
+    # The round-5 floor sweep (bench/ladders/r5_floor_sweep.json)
+    # measured the fused kernel's per-grid-entry machinery at ~2 us per
+    # pair — the WHOLE c4 floor (the body-deleted kernel times the same
+    # as the runtime floor) — so fewer, fatter entries is the direct
+    # lever: a packed entry runs QP consecutive pairs back-to-back
+    # (bit-identical math, window protocol, and compositing order; the
+    # pairs execute in exactly the order consecutive grid entries used
+    # to) and pays the grid-sequencing + per-n block-transition cost
+    # once.  Fused slab-bank single-grid-row (SG == 1) marches only —
+    # every production preset; other shapes keep QP = 1.
+    QP = max(int(r.warp_pack), 1)
+    if not (fused and use_stack and SG == 1):
+        QP = 1
+    while QP > 1 and N2 % QP:
+        QP //= 2
+
     def z0_of(s):
         zeta = (s.astype(jnp.float32) + 0.5) / S
         return jnp.clip(jnp.floor(zeta * gsc), 0, V - 2).astype(jnp.int32)
@@ -417,21 +434,27 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             if stack_resident or dens_resident:
                 vol_stack = rest[0]
                 rest = rest[1:]
-                vol_stacks = [vol_stack] * PW
+                vol_stacks = [vol_stack] * (QP * PW)
             else:
-                # streamed per-particle stacks: PW block inputs
-                vol_stacks = list(rest[:PW])
+                # streamed per-particle stacks: QP*PW block inputs
+                vol_stacks = list(rest[:QP * PW])
                 vol_stack = vol_stacks[0]
-                rest = rest[PW:]
+                rest = rest[QP * PW:]
             if lit:
                 if center and not stack_resident:
-                    # streamed mid-slab(s): PW block inputs
-                    lvol_mids = list(rest[:PW])
+                    # streamed mid-slab(s): QP*PW block inputs
+                    lvol_mids = list(rest[:QP * PW])
                     lvol_stack = lvol_mids[0]
-                    rest = rest[PW:]
-                else:
+                    rest = rest[QP * PW:]
+                elif stack_resident:
                     lvol_stack = rest[0]
+                    lvol_stacks = [lvol_stack] * (QP * PW)
                     rest = rest[1:]
+                else:
+                    # streamed per-particle light stacks (per-step lit)
+                    lvol_stacks = list(rest[:QP * PW])
+                    lvol_stack = lvol_stacks[0]
+                    rest = rest[QP * PW:]
         elif full_vol:
             vol_full = rest[0]
             rest = rest[1:]
@@ -464,7 +487,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         else:
             (gf, rxu, ryw, camf_r, lightf_r, img_out, clamp_out,
              acc, geo) = rest
-        n = pl.program_id(0)
+        ng = pl.program_id(0)
         s = pl.program_id(1)
         if _abl("body"):
             # grid + block specs ONLY: the whole body is never traced.
@@ -473,1215 +496,1236 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # kernel-side scalar/vector work (DESIGN 5j discriminator).
             return
 
-        def gfs(i_, col):
-            """Per-particle f32 scalar (pair member i_) from the geomf
-            SMEM block."""
-            return gf[i_, 0, col]
 
-        if fused:
-            # particle index k and window-buffer parity b: unpaired,
-            # k = n and b alternates with n; paired, the pair members
-            # (k = 2n, 2n+1) always use buffers (0, 1) — the SAME
-            # per-particle reuse/overlap semaphore protocol holds in
-            # both cases (b == k mod 2 either way)
-            b = jnp.int32(0) if PAIR else jax.lax.rem(n, 2)
+        def _pair_iter(nv, jo):
+            """One pair's complete body: init + window fetch + march +
+            epilogue.  At QP == 1 this is called once with
+            nv == program_id(0), jo == 0 — the shipped trace,
+            unchanged.  At QP > 1 (warp_pack, DESIGN 5k) QP
+            consecutive pairs share one grid entry: the pairs run
+            sequentially in trace order exactly as consecutive grid
+            entries used to (same math, same window-DMA protocol and
+            semaphore pairing, same compositing order — bit-identical
+            canvas), while the grid-sequencing and per-n
+            block-transition machinery is paid once per QP pairs.
+            ``nv`` is the VIRTUAL pair index; ``jo`` this pair's row
+            offset inside the entry's packed per-n blocks."""
+            n = nv
+            def gfs(i_, col):
+                """Per-particle f32 scalar (pair member i_) from the geomf
+                SMEM block (jo = this pair's row offset in the packed
+                per-n block; 0 at QP == 1)."""
+                return gf[jo + i_, 0, col]
 
-            def win_yx(k):
-                return (pl.multiple_of(oy_ref[k], 8),
-                        pl.multiple_of(ox_ref[k], 128))
+            if fused:
+                # particle index k and window-buffer parity b: unpaired,
+                # k = n and b alternates with n; paired, the pair members
+                # (k = 2n, 2n+1) always use buffers (0, 1) — the SAME
+                # per-particle reuse/overlap semaphore protocol holds in
+                # both cases (b == k mod 2 either way)
+                b = jnp.int32(0) if PAIR else jax.lax.rem(n, 2)
 
-            def _win_slice(bb, off, wwn):
-                return (win.at[bb, :, pl.ds(off, wwn)] if ILV
-                        else win.at[bb, :, :, pl.ds(off, wwn)])
+                def win_yx(k):
+                    return (pl.multiple_of(oy_ref[k], 8),
+                            pl.multiple_of(ox_ref[k], 128))
 
-            # RES: the window copies' far end is the VMEM-resident
-            # canvas (on-chip VMEM->VMEM DMAs) instead of HBM
-            cref = cvs if RES else canvas_out
+                def _win_slice(bb, off, wwn):
+                    return (win.at[bb, :, pl.ds(off, wwn)] if ILV
+                            else win.at[bb, :, :, pl.ds(off, wwn)])
 
-            def _canvas_slice(y_, x_, wwn):
-                return (cref.at[pl.ds(y_, WH), pl.ds(x_, wwn)]
-                        if ILV else
-                        cref.at[:, pl.ds(y_, WH), pl.ds(x_, wwn)])
+                # RES: the window copies' far end is the VMEM-resident
+                # canvas (on-chip VMEM->VMEM DMAs) instead of HBM
+                cref = cvs if RES else canvas_out
 
-            if RES:
-                @pl.when((n == 0) & (s == 0))
-                def _cvs_init():
-                    # in-kernel canvas init (C = 0, T = 1; interleaved:
-                    # T on phase-3 lanes) — replaces the host-side
-                    # canvas_init_pallas array, which RES mode never
-                    # reads (XLA DCEs its construction)
-                    if ILV:
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (Hc_, Wc_), 1)
-                        cvs[...] = jnp.where(
-                            lane - (lane // 4) * 4 == 3, 1.0, 0.0) \
-                            .astype(cdt)
-                    else:
-                        cvs[0:3] = jnp.zeros((3, Hc_, Wc_), cdt)
-                        cvs[3:4] = jnp.ones((1, Hc_, Wc_), cdt)
+                def _canvas_slice(y_, x_, wwn):
+                    return (cref.at[pl.ds(y_, WH), pl.ds(x_, wwn)]
+                            if ILV else
+                            cref.at[:, pl.ds(y_, WH), pl.ds(x_, wwn)])
 
-            def coutA_desc(k, bb):
-                y_, x_ = win_yx(k)
-                return pltpu.make_async_copy(
-                    _win_slice(bb, 0, WWA), _canvas_slice(y_, x_, WWA),
-                    sem_out.at[bb])
+                if RES:
+                    @pl.when((n == 0) & (s == 0))
+                    def _cvs_init():
+                        # in-kernel canvas init (C = 0, T = 1; interleaved:
+                        # T on phase-3 lanes) — replaces the host-side
+                        # canvas_init_pallas array, which RES mode never
+                        # reads (XLA DCEs its construction)
+                        if ILV:
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (Hc_, Wc_), 1)
+                            cvs[...] = jnp.where(
+                                lane - (lane // 4) * 4 == 3, 1.0, 0.0) \
+                                .astype(cdt)
+                        else:
+                            cvs[0:3] = jnp.zeros((3, Hc_, Wc_), cdt)
+                            cvs[3:4] = jnp.ones((1, Hc_, Wc_), cdt)
 
-            def cinA_desc(k, bb):
-                y_, x_ = win_yx(k)
-                return pltpu.make_async_copy(
-                    _canvas_slice(y_, x_, WWA), _win_slice(bb, 0, WWA),
-                    sem_in.at[bb])
-
-            def fetch_seq(k, bb):
-                """The per-particle window-fetch protocol (identical to
-                the sequential round-2 scheme): wait the write-back that
-                last used this buffer (k-2; skipped if k-1's overlap
-                guard already consumed it), wait the previous particle's
-                write-back when the windows intersect, then start the
-                fetch.  In paired mode the protocol is unchanged — only
-                q's ISSUE POINT moves to the epilogue when it overlaps
-                its own pair partner (ov[k]==1), which also makes its
-                overlap wait see p's just-started write-back."""
-                if _abl("windma"):   # skip ALL window DMAs (the
-                    return                # pure window-traffic bound)
-                @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
-                def _wait_reuse():
-                    coutA_desc(k, bb).wait()
-
-                @pl.when(ov_ref[k] == 1)
-                def _wait_overlap():
-                    coutA_desc(k, 1 - bb).wait()
-
-                cinA_desc(k, bb).start()
-
-            if WWB:
-                # B-half copies are SYNCHRONOUS inside the wide-only
-                # epilogue block (started and waited there), so no
-                # cross-particle semaphore pairing exists for them —
-                # wide particles are the rare case and pay ~0.5 us each
-                def coutB_desc(k, bb):
+                def coutA_desc(k, bb):
                     y_, x_ = win_yx(k)
-                    xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        _win_slice(bb, WWA, WWB),
-                        _canvas_slice(y_, xb_, WWB), semB_out)
+                        _win_slice(bb, 0, WWA), _canvas_slice(y_, x_, WWA),
+                        sem_out.at[bb])
 
-                def cinB_desc(k, bb):
+                def cinA_desc(k, bb):
                     y_, x_ = win_yx(k)
-                    xb_ = pl.multiple_of(x_ + WWA, 128)
                     return pltpu.make_async_copy(
-                        _canvas_slice(y_, xb_, WWB),
-                        _win_slice(bb, WWA, WWB), semB_in)
+                        _canvas_slice(y_, x_, WWA), _win_slice(bb, 0, WWA),
+                        sem_in.at[bb])
 
-        def pread(i_):
-            """Per-particle scalars + ray vectors (pair member i_; the
-            unpaired path binds pread(0) at top level)."""
-            return (gfs(i_, _G_LOX), gfs(i_, _G_LOY),
-                    gfs(i_, _G_LOZ), gfs(i_, _G_EXT),
-                    gfs(i_, _G_SCALE), gfs(i_, _G_SZN),
-                    gfs(i_, _G_VALID), rxu[i_], ryw[i_])
+                def fetch_seq(k, bb):
+                    """The per-particle window-fetch protocol (identical to
+                    the sequential round-2 scheme): wait the write-back that
+                    last used this buffer (k-2; skipped if k-1's overlap
+                    guard already consumed it), wait the previous particle's
+                    write-back when the windows intersect, then start the
+                    fetch.  In paired mode the protocol is unchanged — only
+                    q's ISSUE POINT moves to the epilogue when it overlaps
+                    its own pair partner (ov[k]==1), which also makes its
+                    overlap wait see p's just-started write-back."""
+                    if _abl("windma"):   # skip ALL window DMAs (the
+                        return                # pure window-traffic bound)
+                    @pl.when((k >= 2) & (ov_ref[jnp.maximum(k - 1, 0)] == 0))
+                    def _wait_reuse():
+                        coutA_desc(k, bb).wait()
 
-        (lo_x, lo_y, lo_z, ext, scale, szn, vld,
-         rx_row, ry_col) = pread(0)                 # [1, RP] / [RP, 1]
-        eye_x, eye_y, eye_z = camf_r[0, 0], camf_r[0, 1], camf_r[0, 2]
-        fwd_x, fwd_y, fwd_z = camf_r[0, 9], camf_r[0, 10], camf_r[0, 11]
+                    @pl.when(ov_ref[k] == 1)
+                    def _wait_overlap():
+                        coutA_desc(k, 1 - bb).wait()
 
-        if not persp:
-            fz_s = jnp.where(jnp.abs(fwd_z) < _EPS,
-                             jnp.where(fwd_z >= 0, _EPS, -_EPS), fwd_z)
-            kx = fwd_x / fz_s
-            ky = fwd_y / fz_s
+                    cinA_desc(k, bb).start()
 
-        # paired telescoped marches are always ascending (flip would
-        # only matter for the per-step lit path, which pairing excludes)
-        flipped = jnp.int32(0) if PAIR else flip_ref[n]
-        if use_stack and (stack_resident or dens_resident):
-            vids = [vidx_ref[n * PW + i_] for i_ in range(PW)]
-            vid = vids[0]
+                if WWB:
+                    # B-half copies are SYNCHRONOUS inside the wide-only
+                    # epilogue block (started and waited there), so no
+                    # cross-particle semaphore pairing exists for them —
+                    # wide particles are the rare case and pay ~0.5 us each
+                    def coutB_desc(k, bb):
+                        y_, x_ = win_yx(k)
+                        xb_ = pl.multiple_of(x_ + WWA, 128)
+                        return pltpu.make_async_copy(
+                            _win_slice(bb, WWA, WWB),
+                            _canvas_slice(y_, xb_, WWB), semB_out)
 
-        def _init_one(i_):
+                    def cinB_desc(k, bb):
+                        y_, x_ = win_yx(k)
+                        xb_ = pl.multiple_of(x_ + WWA, 128)
+                        return pltpu.make_async_copy(
+                            _canvas_slice(y_, xb_, WWB),
+                            _win_slice(bb, WWA, WWB), semB_in)
+
+            def pread(i_):
+                """Per-particle scalars + ray vectors (pair member i_; the
+                unpaired path binds pread(0) at top level)."""
+                return (gfs(i_, _G_LOX), gfs(i_, _G_LOY),
+                        gfs(i_, _G_LOZ), gfs(i_, _G_EXT),
+                        gfs(i_, _G_SCALE), gfs(i_, _G_SZN),
+                        gfs(i_, _G_VALID), rxu[jo + i_], ryw[jo + i_])
+
             (lo_x, lo_y, lo_z, ext, scale, szn, vld,
-             rx_row, ry_col) = pread(i_)
-            z2 = jnp.zeros((RM, RM), jnp.float32)
-            if _abl("init"):     # skip the ray/AABB divide+sqrt chains
-                geo[i_] = scale * (rx_row * 1e-6 + ry_col * 1e-6 + z2)
-                return
-            if persp:
-                rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
-                inv_n = 1.0 / rnorm
-                d_x = rx_row * inv_n * szn
-                d_y = ry_col * inv_n * szn
-                d_z = inv_n * szn
-                o_x, o_y, o_z = eye_x + z2, eye_y + z2, eye_z + z2
-                dt_raw = (ext / S) * rnorm
-            else:
-                o_x = rx_row + eye_z * kx + z2
-                o_y = ry_col + eye_z * ky + z2
-                o_z = eye_z + z2
-                d_x = fwd_x + z2
-                d_y = fwd_y + z2
-                d_z = fwd_z + z2
-                dt_raw = ext / S / jnp.abs(fz_s) + z2
+             rx_row, ry_col) = pread(0)                 # [1, RP] / [RP, 1]
+            eye_x, eye_y, eye_z = camf_r[0, 0], camf_r[0, 1], camf_r[0, 2]
+            fwd_x, fwd_y, fwd_z = camf_r[0, 9], camf_r[0, 10], camf_r[0, 11]
 
-            def axis_seg(o, d, lo1, hi1):
-                sgn = jnp.where(d >= 0, 1.0, -1.0)
-                dsafe = jnp.where(jnp.abs(d) < 1e-12, sgn * 1e-12, d)
-                inv = 1.0 / dsafe
-                ta = (lo1 - o) * inv
-                tb = (hi1 - o) * inv
-                return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+            if not persp:
+                fz_s = jnp.where(jnp.abs(fwd_z) < _EPS,
+                                 jnp.where(fwd_z >= 0, _EPS, -_EPS), fwd_z)
+                kx = fwd_x / fz_s
+                ky = fwd_y / fz_s
 
-            t0x, t1x = axis_seg(o_x, d_x + z2, lo_x, lo_x + ext)
-            t0y, t1y = axis_seg(o_y, d_y + z2, lo_y, lo_y + ext)
-            t0z, t1z = axis_seg(o_z, d_z, lo_z, lo_z + ext)
-            t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
-            t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
-            seg = jnp.maximum(t1 - t0, 0.0)
-            geo[i_] = scale * jnp.minimum(dt_raw, seg)   # scale * dt
+            # paired telescoped marches are always ascending (flip would
+            # only matter for the per-step lit path, which pairing excludes)
+            flipped = jnp.int32(0) if PAIR else flip_ref[n]
+            if use_stack and (stack_resident or dens_resident):
+                vids = [vidx_ref[n * PW + i_] for i_ in range(PW)]
+                vid = vids[0]
 
-        @pl.when(s == 0)
-        def _init():
-            # factored accumulators: the per-step color is col_ch =
-            # alb_ch * (lcol_ch * atten + amb_ch), LINEAR in (atten, 1) —
-            # so only scalar-weight planes accumulate (P1 = sum fa*atten,
-            # P2 = sum fa, T) and the RGB expansion happens once in the
-            # epilogue (after the fan warp: fewer planes to shift).
-            acc[:] = jnp.zeros((NP, MR, MR), jnp.float32)
-            if lit and not center:
-                acc[NP - 1] = jnp.ones((MR, MR), jnp.float32)
-            for i_ in range(PW):
-                _init_one(i_)
-
-        if fused:
-            # canvas window fetch, issued at the particle's FIRST grid
-            # step so it overlaps the whole march (fetch_seq: the
-            # sequential reuse/overlap protocol).  Paired: q's fetch is
-            # prefetched here ONLY when it does not overlap its own pair
-            # partner p (ov[k1]==0); otherwise it is deferred to the
-            # epilogue, after p's write-back starts (fetching it here
-            # would deadlock: the overlap wait would target a write-back
-            # this same grid step hasn't issued yet).
-            @pl.when(s == 0)
-            def _fused_fetch():
-                fetch_seq(n * PW, b)
-                if PAIR:
-                    @pl.when(ov_ref[n * PW + 1] == 0)
-                    def _prefetch_q():
-                        fetch_seq(n * PW + 1, jnp.int32(1))
-
-        # ---- marching steps (U unrolled per grid step) -------------------
-        # rows that are invalid (dead/culled, or the other size class in
-        # two-class rendering) skip the whole marching body: acc stays at
-        # the OVER identity set by _init.  Paired: run if EITHER member
-        # is valid (the invalid one's weights are masked to zero).
-        # (_abl("march"): statically skip the WHOLE march body —
-        # weights, coords, dots, slab reads — leaving epilogue + DMAs)
-        vld_any = vld if PW == 1 else (vld + pread(1)[6])
-
-        def _march_pair():
-            # Paired telescoped march (see the PAIR comment above): both
-            # members' dot operands pack into full-width MXU tiles.
-            # The lane axis holds BOTH voxel grids (vox2 repeats 0..V-1
-            # twice — adding +V to the hat POSITIONS instead would round
-            # away fraction bits when the sum crosses a binade), and a
-            # static 0/1 block mask zeroes the off-diagonal blocks; x1
-            # and x0 are exact, so each diagonal block accumulates
-            # bit-identically to the unpaired march.  The -2 sentinel
-            # keeps masked/invalid rows at zero weight on every lane.
-            iot_c2 = jax.lax.broadcasted_iota(
-                jnp.int32, (MR, 2 * V), 1)
-            row_i2 = jax.lax.broadcasted_iota(
-                jnp.int32, (MR, 2 * V), 0)
-            vox2 = (iot_c2 - jnp.where(iot_c2 >= V, V, 0)) \
-                .astype(jnp.float32)                    # 0..V-1 twice
-            blkmask = (((iot_c2 >= V) == (row_i2 >= RM))
-                       .astype(jnp.float32))            # diag blocks
-            iot_a2 = jax.lax.broadcasted_iota(
-                jnp.int32, (VX, MR), 0).astype(jnp.float32)
-            pv = [pread(i_) for i_ in range(PW)]
-            hoist = []
-            for (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
-                 rx_row, ry_col) in pv:
-                kx2 = gscx / ext
-                ky2 = gsc / ext
+            def _init_one(i_):
+                (lo_x, lo_y, lo_z, ext, scale, szn, vld,
+                 rx_row, ry_col) = pread(i_)
+                z2 = jnp.zeros((RM, RM), jnp.float32)
+                if _abl("init"):     # skip the ray/AABB divide+sqrt chains
+                    geo[i_] = scale * (rx_row * 1e-6 + ry_col * 1e-6 + z2)
+                    return
                 if persp:
-                    hoist.append((kx2, ky2, (eye_x - lo_x) * kx2,
-                                  (eye_y - lo_y) * ky2))
+                    rnorm = jnp.sqrt(rx_row * rx_row + ry_col * ry_col + 1.0)
+                    inv_n = 1.0 / rnorm
+                    d_x = rx_row * inv_n * szn
+                    d_y = ry_col * inv_n * szn
+                    d_z = inv_n * szn
+                    o_x, o_y, o_z = eye_x + z2, eye_y + z2, eye_z + z2
+                    dt_raw = (ext / S) * rnorm
                 else:
-                    hoist.append((kx2, ky2, kx2 * rx_row, ky2 * ry_col))
-            y_parts, x_parts = [], []
-            for u in range(U):
-                sei = jnp.int32(s * U + u)      # ascending (flip == 0)
-                zeta = (sei.astype(jnp.float32) + 0.5) / S
-                gy_sel, gx_sel = [], []
+                    o_x = rx_row + eye_z * kx + z2
+                    o_y = ry_col + eye_z * ky + z2
+                    o_z = eye_z + z2
+                    d_x = fwd_x + z2
+                    d_y = fwd_y + z2
+                    d_z = fwd_z + z2
+                    dt_raw = ext / S / jnp.abs(fz_s) + z2
+
+                def axis_seg(o, d, lo1, hi1):
+                    sgn = jnp.where(d >= 0, 1.0, -1.0)
+                    dsafe = jnp.where(jnp.abs(d) < 1e-12, sgn * 1e-12, d)
+                    inv = 1.0 / dsafe
+                    ta = (lo1 - o) * inv
+                    tb = (hi1 - o) * inv
+                    return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+                t0x, t1x = axis_seg(o_x, d_x + z2, lo_x, lo_x + ext)
+                t0y, t1y = axis_seg(o_y, d_y + z2, lo_y, lo_y + ext)
+                t0z, t1z = axis_seg(o_z, d_z, lo_z, lo_z + ext)
+                t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+                t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+                seg = jnp.maximum(t1 - t0, 0.0)
+                geo[i_] = scale * jnp.minimum(dt_raw, seg)   # scale * dt
+
+            @pl.when(s == 0)
+            def _init():
+                # factored accumulators: the per-step color is col_ch =
+                # alb_ch * (lcol_ch * atten + amb_ch), LINEAR in (atten, 1) —
+                # so only scalar-weight planes accumulate (P1 = sum fa*atten,
+                # P2 = sum fa, T) and the RGB expansion happens once in the
+                # epilogue (after the fan warp: fewer planes to shift).
+                acc[:] = jnp.zeros((NP, MR, MR), jnp.float32)
+                if lit and not center:
+                    acc[NP - 1] = jnp.ones((MR, MR), jnp.float32)
                 for i_ in range(PW):
-                    (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
-                     rx_row, ry_col) = pv[i_]
-                    kx2, ky2, hx, hy = hoist[i_]
-                    zw = lo_z + zeta * ext
+                    _init_one(i_)
+
+            if fused:
+                # canvas window fetch, issued at the particle's FIRST grid
+                # step so it overlaps the whole march (fetch_seq: the
+                # sequential reuse/overlap protocol).  Paired: q's fetch is
+                # prefetched here ONLY when it does not overlap its own pair
+                # partner p (ov[k1]==0); otherwise it is deferred to the
+                # epilogue, after p's write-back starts (fetching it here
+                # would deadlock: the overlap wait would target a write-back
+                # this same grid step hasn't issued yet).
+                @pl.when(s == 0)
+                def _fused_fetch():
+                    fetch_seq(n * PW, b)
+                    if PAIR:
+                        @pl.when(ov_ref[n * PW + 1] == 0)
+                        def _prefetch_q():
+                            fetch_seq(n * PW + 1, jnp.int32(1))
+
+            # ---- marching steps (U unrolled per grid step) -------------------
+            # rows that are invalid (dead/culled, or the other size class in
+            # two-class rendering) skip the whole marching body: acc stays at
+            # the OVER identity set by _init.  Paired: run if EITHER member
+            # is valid (the invalid one's weights are masked to zero).
+            # (_abl("march"): statically skip the WHOLE march body —
+            # weights, coords, dots, slab reads — leaving epilogue + DMAs)
+            vld_any = vld if PW == 1 else (vld + pread(1)[6])
+
+            def _march_pair():
+                # Paired telescoped march (see the PAIR comment above): both
+                # members' dot operands pack into full-width MXU tiles.
+                # The lane axis holds BOTH voxel grids (vox2 repeats 0..V-1
+                # twice — adding +V to the hat POSITIONS instead would round
+                # away fraction bits when the sum crosses a binade), and a
+                # static 0/1 block mask zeroes the off-diagonal blocks; x1
+                # and x0 are exact, so each diagonal block accumulates
+                # bit-identically to the unpaired march.  The -2 sentinel
+                # keeps masked/invalid rows at zero weight on every lane.
+                iot_c2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (MR, 2 * V), 1)
+                row_i2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (MR, 2 * V), 0)
+                vox2 = (iot_c2 - jnp.where(iot_c2 >= V, V, 0)) \
+                    .astype(jnp.float32)                    # 0..V-1 twice
+                blkmask = (((iot_c2 >= V) == (row_i2 >= RM))
+                           .astype(jnp.float32))            # diag blocks
+                iot_a2 = jax.lax.broadcasted_iota(
+                    jnp.int32, (VX, MR), 0).astype(jnp.float32)
+                pv = [pread(i_) for i_ in range(PW)]
+                hoist = []
+                for (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
+                     rx_row, ry_col) in pv:
+                    kx2 = gscx / ext
+                    ky2 = gsc / ext
                     if persp:
-                        c1 = zw - eye_z
-                        gx = hx + (c1 * kx2) * rx_row
-                        gy = hy + (c1 * ky2) * ry_col
+                        hoist.append((kx2, ky2, (eye_x - lo_x) * kx2,
+                                      (eye_y - lo_y) * ky2))
                     else:
-                        gx = (zw * kx - lo_x) * kx2 + hx
-                        gy = (zw * ky - lo_y) * ky2 + hy
-                    tp = ((zw - eye_z) * szn > 0) & (vldi > 0)
-                    gy_sel.append(jnp.where(
-                        ((gy >= 0) & (gy <= gsc)) & tp, gy, -2.0))
-                    gx_sel.append(jnp.where(
-                        ((gx >= 0) & (gx <= gscx)) & (vldi > 0),
-                        gx, -2.0))
-                gsel_y = jnp.concatenate(gy_sel, axis=0)     # [MR, 1]
-                gsel_x = jnp.concatenate(gx_sel, axis=1)     # [1, MR]
-                # blkmask folds into the hat's peak: on diagonal blocks
-                # max(0, 1 - |d|) (blkmask == 1.0, the same subtraction
-                # as the explicit form), off-diagonal max(0, 0 - |d|)
-                # == +0 exactly (== 0.0 * hat) — one fewer [MR, 2V] VPU
-                # op per unrolled step, bit-identical values
-                Wy = jnp.maximum(0.0, blkmask - jnp.abs(gsel_y - vox2)) \
-                    .astype(wdt)                             # [MR, 2V]
-                WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a2 - gsel_x)) \
-                    .astype(wdt)                             # [VX, MR]
-                if _abl("weights"):
-                    Wy = (vox2 * 0.001).astype(wdt)
-                    WxT = (iot_a2 * 0.001).astype(wdt)
+                        hoist.append((kx2, ky2, kx2 * rx_row, ky2 * ry_col))
+                y_parts, x_parts = [], []
+                for u in range(U):
+                    sei = jnp.int32(s * U + u)      # ascending (flip == 0)
+                    zeta = (sei.astype(jnp.float32) + 0.5) / S
+                    gy_sel, gx_sel = [], []
+                    for i_ in range(PW):
+                        (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
+                         rx_row, ry_col) = pv[i_]
+                        kx2, ky2, hx, hy = hoist[i_]
+                        zw = lo_z + zeta * ext
+                        if persp:
+                            c1 = zw - eye_z
+                            gx = hx + (c1 * kx2) * rx_row
+                            gy = hy + (c1 * ky2) * ry_col
+                        else:
+                            gx = (zw * kx - lo_x) * kx2 + hx
+                            gy = (zw * ky - lo_y) * ky2 + hy
+                        tp = ((zw - eye_z) * szn > 0) & (vldi > 0)
+                        gy_sel.append(jnp.where(
+                            ((gy >= 0) & (gy <= gsc)) & tp, gy, -2.0))
+                        gx_sel.append(jnp.where(
+                            ((gx >= 0) & (gx <= gscx)) & (vldi > 0),
+                            gx, -2.0))
+                    gsel_y = jnp.concatenate(gy_sel, axis=0)     # [MR, 1]
+                    gsel_x = jnp.concatenate(gx_sel, axis=1)     # [1, MR]
+                    # blkmask folds into the hat's peak: on diagonal blocks
+                    # max(0, 1 - |d|) (blkmask == 1.0, the same subtraction
+                    # as the explicit form), off-diagonal max(0, 0 - |d|)
+                    # == +0 exactly (== 0.0 * hat) — one fewer [MR, 2V] VPU
+                    # op per unrolled step, bit-identical values
+                    Wy = jnp.maximum(0.0, blkmask - jnp.abs(gsel_y - vox2)) \
+                        .astype(wdt)                             # [MR, 2V]
+                    WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a2 - gsel_x)) \
+                        .astype(wdt)                             # [VX, MR]
+                    if _abl("weights"):
+                        Wy = (vox2 * 0.001).astype(wdt)
+                        WxT = (iot_a2 * 0.001).astype(wdt)
 
-                def pslab(i_, sei=sei):
-                    if stack_resident or dens_resident:
-                        return vol_stack[pl.ds(vids[i_] * S + sei,
-                                               1)][0]
-                    return vol_stacks[i_][0, pl.ds(sei, 1)][0]
+                    def pslab(i_, sei=sei):
+                        if stack_resident or dens_resident:
+                            return vol_stack[pl.ds(vids[i_] * S + sei,
+                                                   1)][0]
+                        return vol_stacks[jo + i_][0, pl.ds(sei, 1)][0]
 
-                slab_cat = jnp.concatenate([pslab(0), pslab(1)],
-                                           axis=1)           # [VX, 2V]
-                if _abl("dot1") and VX == V:
-                    t1_ = Wy[:, :VX] * (1.0 + slab_cat[:1, :VX])
+                    slab_cat = jnp.concatenate([pslab(0), pslab(1)],
+                                               axis=1)           # [VX, 2V]
+                    if _abl("dot1") and VX == V:
+                        t1_ = Wy[:, :VX] * (1.0 + slab_cat[:1, :VX])
+                    else:
+                        t1_ = jax.lax.dot_general(
+                            Wy, slab_cat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                      # [MR, VX]
+                    y_parts.append(t1_.astype(wdt))
+                    x_parts.append(WxT)
+
+                    if center and u == MID % U:
+                        @pl.when(s == MID // U)
+                        def _tau_mid(Wy=Wy, WxT=WxT, sei=sei):
+                            def pmid(i_):
+                                if stack_resident:
+                                    return lvol_stack[
+                                        pl.ds(vids[i_] * S + sei, 1)][0]
+                                return lvol_mids[jo + i_][0, 0]
+                            ls_cat = jnp.concatenate([pmid(0), pmid(1)],
+                                                     axis=1)
+                            t1l = jax.lax.dot_general(
+                                Wy, ls_cat, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                            acc[1] = jax.lax.dot_general(
+                                t1l.astype(wdt), WxT,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+
+                if _abl("dot2"):
+                    od = sum(p[:, :1] * 0.001 for p in y_parts) \
+                        + x_parts[0][:1, :] * 0.0
                 else:
+                    od = jax.lax.dot_general(
+                        jnp.concatenate(y_parts, axis=1) if U > 1
+                        else y_parts[0],
+                        jnp.concatenate(x_parts, axis=0) if U > 1
+                        else x_parts[0],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                acc[0] = acc[0] + od
+
+            # "march" skips the body at RUNTIME (compiled but branch-false);
+            # "marchoff" removes it STATICALLY (never traced) — the pair
+            # discriminates whether compiled-but-skipped code costs per-step
+            # time (instruction streaming) or only the work itself does.
+            @pl.when((vld_any > 0) if not _abl("march") else (vld_any > 127))
+            def _march_steps():
+              if _abl("marchoff"):
+                  acc[0] = acc[0] + 1e-6
+                  return
+              if PAIR:
+                  _march_pair()
+                  return
+              # loop-invariant hat-weight iotas, built once per grid step
+              iot_b = jax.lax.broadcasted_iota(
+                  jnp.int32, (RM, V), 1).astype(jnp.float32)
+              iot_a = jax.lax.broadcasted_iota(
+                  jnp.int32, (VX, RM), 0).astype(jnp.float32)
+              # hoisted grid-coord factors: gx = bx + (c1*kx2)*rx (persp)
+              # or ax_s + rxk (ortho) — ONE wide fma/add per axis per step
+              # instead of the 5-op chain (incl. a per-step DIVIDE); the
+              # oracle and the XLA march mirror the same association
+              kx2 = gscx / ext
+              ky2 = gsc / ext
+              if persp:
+                  bx_h = (eye_x - lo_x) * kx2
+                  by_h = (eye_y - lo_y) * ky2
+              else:
+                  rxk = kx2 * rx_row
+                  ryk = ky2 * ry_col
+              y_parts, x_parts = [], []
+              for u in range(U):
+                sei = s_eff(jnp.int32(s * U + u), flipped)
+                se = sei.astype(jnp.float32)
+                zeta = (se + 0.5) / S
+                gz = zeta * gsc
+                if not use_stack:
+                    z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
+                    fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
+                zw = lo_z + zeta * ext
+                if _abl("gxy"):
+                    # constant-ish grid coords (keep the step + ray-vector
+                    # dependency with ONE fma per axis): measures the
+                    # per-step coord chains (fma/div/scale per axis)
+                    gx = rx_row + se
+                    gy = ry_col + se
+                elif persp:
+                    c1 = zw - eye_z
+                    gx = bx_h + (c1 * kx2) * rx_row                   # [1, RP]
+                    gy = by_h + (c1 * ky2) * ry_col                   # [RP, 1]
+                else:
+                    gx = (zw * kx - lo_x) * kx2 + rxk
+                    gy = (zw * ky - lo_y) * ky2 + ryk
+                # the ray-origin plane is z = eye_z for BOTH projections, so
+                # the t>0 test is a scalar folded into the row mask; vld > 0
+                # is already guaranteed by the enclosing pl.when
+                tpos = (zw - eye_z) * szn > 0
+                if lit and not center:
+                    inx_f = ((gx >= 0) & (gx <= gscx)).astype(jnp.float32)
+                    iny_f = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) \
+                        * tpos.astype(jnp.float32)
+                    msk = iny_f * inx_f                              # [RP, RP]
+                    gyc = jnp.clip(gy, 0.0, gsc)                     # [RP, 1]
+                    gxc = jnp.clip(gx, 0.0, gscx)                    # [1, RP]
+                else:
+                    # telescoped mode: the binary in-bounds mask folds into
+                    # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
+                    # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks —
+                    # and the fold happens in the 1-D POSITIONS: a masked
+                    # row/col gets hat position -2, whose hat weight is
+                    # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
+                    # two [RM, V] mask multiplies per step
+                    # (no clip inside the select: the mask already implies
+                    # gy in [0, gsc], so clip is the identity — bit-exact)
+                    gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
+                                    gy, -2.0)
+                    gxc = jnp.where((gx >= 0) & (gx <= gscx),
+                                    gx, -2.0)
+                Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
+                    .astype(wdt)                                     # [RP, V(b)]
+                WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
+                    .astype(wdt)                                     # [V(a), RP]
+                if _abl("weights"):       # constant weights, keep dots
+                    Wy = (iot_b * 0.001).astype(wdt)
+                    WxT = (iot_a * 0.001).astype(wdt)
+
+                if use_stack:
+                    if stack_resident or dens_resident:
+                        def stacked(ref):
+                            # bank flattened to [M*S, V, V]; one dynamic
+                            # leading index (vid*S + sei)
+                            return ref[pl.ds(vid * S + sei, 1)][0]
+                    else:
+                        def stacked(ref):
+                            return ref[0, pl.ds(sei, 1)][0]          # [V,V] wdt
+                elif full_vol:
+                    z0i = jnp.clip(jnp.floor(gz), 0.0,
+                                   V - 2.0).astype(jnp.int32)
+
+                    def lerped_ref(ref):
+                        sl = ref[0, pl.ds(z0i, 2)]                   # [2,V,V]
+                        a = sl[0].astype(jnp.float32)
+                        b = sl[1].astype(jnp.float32)
+                        return (a + (b - a) * fz_lerp).astype(wdt)
+
+                def lerped(s0, s1):
+                    a = s0[0, 0].astype(jnp.float32)
+                    b = s1[0, 0].astype(jnp.float32)
+                    return (a + (b - a) * fz_lerp).astype(wdt)       # [V,V]
+
+                def contract(slab_cat, n_banks):
+                    """sigma for 1-2 banks whose slabs are concatenated on
+                    the a (x) axis: dot1 N-widens to n_banks*V — same math
+                    and rounding points as separate pairs, bigger MXU tiles
+                    (the V=64 configs were MXU-bound on half-empty tiles).
+                    Returns a list of [RP, RP] per bank.  (Merging the two
+                    dot2s into one [nb*RP, V] dot does NOT lower: Mosaic
+                    rejects re-concatenating lane-offset slices on the
+                    sublane axis — "offset mismatch on non-concat dim".)"""
                     t1_ = jax.lax.dot_general(
                         Wy, slab_cat, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=prec)                      # [MR, VX]
-                y_parts.append(t1_.astype(wdt))
-                x_parts.append(WxT)
+                        precision=prec)                      # [RP, nb*V(a)]
+                    t1w = t1_.astype(wdt)
+                    return [jax.lax.dot_general(
+                        t1w[:, k * V:(k + 1) * V], WxT,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                        for k in range(n_banks)]
 
-                if center and u == MID % U:
-                    @pl.when(s == MID // U)
-                    def _tau_mid(Wy=Wy, WxT=WxT, sei=sei):
-                        def pmid(i_):
-                            if stack_resident:
-                                return lvol_stack[
-                                    pl.ds(vids[i_] * S + sei, 1)][0]
-                            return lvol_mids[i_][0, 0]
-                        ls_cat = jnp.concatenate([pmid(0), pmid(1)],
-                                                 axis=1)
-                        t1l = jax.lax.dot_general(
-                            Wy, ls_cat, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-                        acc[1] = jax.lax.dot_general(
-                            t1l.astype(wdt), WxT,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-
-            if _abl("dot2"):
-                od = sum(p[:, :1] * 0.001 for p in y_parts) \
-                    + x_parts[0][:1, :] * 0.0
-            else:
-                od = jax.lax.dot_general(
-                    jnp.concatenate(y_parts, axis=1) if U > 1
-                    else y_parts[0],
-                    jnp.concatenate(x_parts, axis=0) if U > 1
-                    else x_parts[0],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-            acc[0] = acc[0] + od
-
-        # "march" skips the body at RUNTIME (compiled but branch-false);
-        # "marchoff" removes it STATICALLY (never traced) — the pair
-        # discriminates whether compiled-but-skipped code costs per-step
-        # time (instruction streaming) or only the work itself does.
-        @pl.when((vld_any > 0) if not _abl("march") else (vld_any > 127))
-        def _march_steps():
-          if _abl("marchoff"):
-              acc[0] = acc[0] + 1e-6
-              return
-          if PAIR:
-              _march_pair()
-              return
-          # loop-invariant hat-weight iotas, built once per grid step
-          iot_b = jax.lax.broadcasted_iota(
-              jnp.int32, (RM, V), 1).astype(jnp.float32)
-          iot_a = jax.lax.broadcasted_iota(
-              jnp.int32, (VX, RM), 0).astype(jnp.float32)
-          # hoisted grid-coord factors: gx = bx + (c1*kx2)*rx (persp)
-          # or ax_s + rxk (ortho) — ONE wide fma/add per axis per step
-          # instead of the 5-op chain (incl. a per-step DIVIDE); the
-          # oracle and the XLA march mirror the same association
-          kx2 = gscx / ext
-          ky2 = gsc / ext
-          if persp:
-              bx_h = (eye_x - lo_x) * kx2
-              by_h = (eye_y - lo_y) * ky2
-          else:
-              rxk = kx2 * rx_row
-              ryk = ky2 * ry_col
-          y_parts, x_parts = [], []
-          for u in range(U):
-            sei = s_eff(jnp.int32(s * U + u), flipped)
-            se = sei.astype(jnp.float32)
-            zeta = (se + 0.5) / S
-            gz = zeta * gsc
-            if not use_stack:
-                z0f = jnp.clip(jnp.floor(gz), 0.0, V - 2.0)
-                fz_lerp = jnp.clip(gz - z0f, 0.0, 1.0)
-            zw = lo_z + zeta * ext
-            if _abl("gxy"):
-                # constant-ish grid coords (keep the step + ray-vector
-                # dependency with ONE fma per axis): measures the
-                # per-step coord chains (fma/div/scale per axis)
-                gx = rx_row + se
-                gy = ry_col + se
-            elif persp:
-                c1 = zw - eye_z
-                gx = bx_h + (c1 * kx2) * rx_row                   # [1, RP]
-                gy = by_h + (c1 * ky2) * ry_col                   # [RP, 1]
-            else:
-                gx = (zw * kx - lo_x) * kx2 + rxk
-                gy = (zw * ky - lo_y) * ky2 + ryk
-            # the ray-origin plane is z = eye_z for BOTH projections, so
-            # the t>0 test is a scalar folded into the row mask; vld > 0
-            # is already guaranteed by the enclosing pl.when
-            tpos = (zw - eye_z) * szn > 0
-            if lit and not center:
-                inx_f = ((gx >= 0) & (gx <= gscx)).astype(jnp.float32)
-                iny_f = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) \
-                    * tpos.astype(jnp.float32)
-                msk = iny_f * inx_f                              # [RP, RP]
-                gyc = jnp.clip(gy, 0.0, gsc)                     # [RP, 1]
-                gxc = jnp.clip(gx, 0.0, gscx)                    # [1, RP]
-            else:
-                # telescoped mode: the binary in-bounds mask folds into
-                # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
-                # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks —
-                # and the fold happens in the 1-D POSITIONS: a masked
-                # row/col gets hat position -2, whose hat weight is
-                # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
-                # two [RM, V] mask multiplies per step
-                # (no clip inside the select: the mask already implies
-                # gy in [0, gsc], so clip is the identity — bit-exact)
-                gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
-                                gy, -2.0)
-                gxc = jnp.where((gx >= 0) & (gx <= gscx),
-                                gx, -2.0)
-            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
-                .astype(wdt)                                     # [RP, V(b)]
-            WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
-                .astype(wdt)                                     # [V(a), RP]
-            if _abl("weights"):       # constant weights, keep dots
-                Wy = (iot_b * 0.001).astype(wdt)
-                WxT = (iot_a * 0.001).astype(wdt)
-
-            if use_stack:
-                if stack_resident or dens_resident:
-                    def stacked(ref):
-                        # bank flattened to [M*S, V, V]; one dynamic
-                        # leading index (vid*S + sei)
-                        return ref[pl.ds(vid * S + sei, 1)][0]
-                else:
-                    def stacked(ref):
-                        return ref[0, pl.ds(sei, 1)][0]          # [V,V] wdt
-            elif full_vol:
-                z0i = jnp.clip(jnp.floor(gz), 0.0,
-                               V - 2.0).astype(jnp.int32)
-
-                def lerped_ref(ref):
-                    sl = ref[0, pl.ds(z0i, 2)]                   # [2,V,V]
-                    a = sl[0].astype(jnp.float32)
-                    b = sl[1].astype(jnp.float32)
-                    return (a + (b - a) * fz_lerp).astype(wdt)
-
-            def lerped(s0, s1):
-                a = s0[0, 0].astype(jnp.float32)
-                b = s1[0, 0].astype(jnp.float32)
-                return (a + (b - a) * fz_lerp).astype(wdt)       # [V,V]
-
-            def contract(slab_cat, n_banks):
-                """sigma for 1-2 banks whose slabs are concatenated on
-                the a (x) axis: dot1 N-widens to n_banks*V — same math
-                and rounding points as separate pairs, bigger MXU tiles
-                (the V=64 configs were MXU-bound on half-empty tiles).
-                Returns a list of [RP, RP] per bank.  (Merging the two
-                dot2s into one [nb*RP, V] dot does NOT lower: Mosaic
-                rejects re-concatenating lane-offset slices on the
-                sublane axis — "offset mismatch on non-concat dim".)"""
-                t1_ = jax.lax.dot_general(
-                    Wy, slab_cat, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec)                      # [RP, nb*V(a)]
-                t1w = t1_.astype(wdt)
-                return [jax.lax.dot_general(
-                    t1w[:, k * V:(k + 1) * V], WxT,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-                    for k in range(n_banks)]
-
-            if lit and not center:
-                if use_stack:
-                    slab_cat = jnp.concatenate(
-                        [stacked(vol_stack), stacked(lvol_stack)], axis=0)
-                elif full_vol:
-                    slab_cat = jnp.concatenate(
-                        [lerped_ref(vol_full), lerped_ref(lvol_full)],
-                        axis=0)                          # [2V(a'), V(b)]
-                else:
-                    slab_cat = jnp.concatenate(
-                        [lerped(vols_in[2 * u], vols_in[2 * u + 1]),
-                         lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
-                        axis=0)
-                sig, tau = contract(slab_cat, 2)
-                alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
-                atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
-                T = acc[2]
-                fa = T * alpha
-                acc[0] = acc[0] + fa * atten
-                acc[1] = acc[1] + fa
-                acc[2] = T - fa
-            else:
-                # telescoped: only dot1 per step; the (t1, WxT) factors
-                # are collected and contracted ONCE per grid step below
-                if use_stack:
-                    slab = stacked(vol_stack)
-                elif full_vol:
-                    slab = lerped_ref(vol_full)
-                else:
-                    slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
-                if _abl("dot1") and VX == V:
-                    # skip dot1, keep weights+dot2 (sublane-only
-                    # broadcast: 2-D broadcasts of a [1,1] scalar slice
-                    # don't lower).  With x-downsampled banks (VX < V)
-                    # no cheap [RM, VX] stand-in exists — the real dot1
-                    # stays and this ablation measures nothing.
-                    t1_ = Wy * (1.0 + slab[:1, :])
-                else:
-                    t1_ = jax.lax.dot_general(
-                        Wy, slab, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)                  # [RP, V(a)]
-                y_parts.append(t1_.astype(wdt))
-                x_parts.append(WxT)
-
-                if center and u == MID % U:
-                    # ONE light sample per ray, at the particle's
-                    # mid-depth step (masked weights -> tau = 0 out of
-                    # bounds, i.e. atten = 1 where P2 = 0 anyway)
-                    @pl.when(s == MID // U)
-                    def _tau_mid(Wy=Wy, WxT=WxT):
-                        if use_stack:
-                            if stack_resident:
-                                ls = stacked(lvol_stack)
-                            else:
-                                ls = lvol_stack[0, 0]    # mid-slab block
-                        elif full_vol:
-                            ls = lerped_ref(lvol_full)
-                        else:
-                            ls = lerped(lvols_in[2 * u],
-                                        lvols_in[2 * u + 1])
-                        t1l = jax.lax.dot_general(
-                            Wy, ls, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-                        acc[1] = jax.lax.dot_general(
-                            t1l.astype(wdt), WxT,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-
-          if not lit or center:
-            if _abl("dot2"):          # skip the merged contraction
-                od = sum(p[:, :1] * 0.001 for p in y_parts) \
-                    + sum(p[:1, :].T[:RP] * 0.0 for p in x_parts)
-            else:
-                # ONE [RM, U*V] x [U*V, RM] MXU contraction per grid
-                # step: K is step-ordered, so the f32 accumulation order
-                # matches the sequential per-step dot2s (and XLA)
-                od = jax.lax.dot_general(
-                    jnp.concatenate(y_parts, axis=1) if U > 1
-                    else y_parts[0],
-                    jnp.concatenate(x_parts, axis=0) if U > 1
-                    else x_parts[0],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
-            acc[0] = acc[0] + od
-
-        # ---- epilogue: select, fan-warp, write --------------------------
-        def _write_one(i_, pre=None):
-            (lo_x, lo_y, lo_z, ext, scale, szn, vld,
-             rx_row, ry_col) = pread(i_)
-            k_ = n * PW + i_
-            b_ = (jnp.int32(i_) if PAIR else b) if fused else None
-            sx0 = gfs(i_, _G_SX0)
-            sy0 = gfs(i_, _G_SY0)
-            # T is NOT shifted: T = 1 - P2 exactly (the OVER weights
-            # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
-            # weights sum to 1, so T_warped = 1 - P2_warped -- one less
-            # plane through the shift loop (unlit ships a single plane)
-            # planes at MARCH resolution: lit (P1, P2); unlit the
-            # LINEAR optical depth q = od * scale*dt — the whole fan +
-            # upsample chain below stays linear and ONE exp runs at the
-            # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
-            if pre is not None:
-                # packed pair fan already produced the exps and the
-                # clamp count (_fan_pair); continue at the placement
-                P1m, P2m = pre
-                n_clamp = jnp.int32(0)
-            else:
-                if PAIR:
-                    # extract this member's diagonal block from the paired
-                    # accumulator planes (vreg value slices; the off-diag
-                    # blocks are the packing's discarded cross terms)
-                    sl = slice(i_ * RM, (i_ + 1) * RM)
-                    a0 = acc[0][sl, sl]
-                    a1 = acc[1][sl, sl] if center else None
-                else:
-                    a0 = acc[0]
-                    a1 = acc[1] if NP > 1 else None
                 if lit and not center:
-                    img4 = [acc[p] for p in range(NP - 1)]
-                elif center:
-                    # (q, tau') both LINEAR through the fan + upsample;
-                    # atten = exp(-tau') once at the end
-                    img4 = [a0 * geo[i_],
-                            (scale * ext) * jnp.maximum(a1, 0.0)]
+                    if use_stack:
+                        slab_cat = jnp.concatenate(
+                            [stacked(vol_stacks[jo]),
+                             stacked(lvol_stacks[jo])], axis=0)
+                    elif full_vol:
+                        slab_cat = jnp.concatenate(
+                            [lerped_ref(vol_full), lerped_ref(lvol_full)],
+                            axis=0)                          # [2V(a'), V(b)]
+                    else:
+                        slab_cat = jnp.concatenate(
+                            [lerped(vols_in[2 * u], vols_in[2 * u + 1]),
+                             lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
+                            axis=0)
+                    sig, tau = contract(slab_cat, 2)
+                    alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
+                    atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
+                    T = acc[2]
+                    fa = T * alpha
+                    acc[0] = acc[0] + fa * atten
+                    acc[1] = acc[1] + fa
+                    acc[2] = T - fa
                 else:
-                    img4 = [a0 * geo[i_]]
+                    # telescoped: only dot1 per step; the (t1, WxT) factors
+                    # are collected and contracted ONCE per grid step below
+                    if use_stack:
+                        slab = stacked(vol_stacks[jo])
+                    elif full_vol:
+                        slab = lerped_ref(vol_full)
+                    else:
+                        slab = lerped(vols_in[2 * u], vols_in[2 * u + 1])
+                    if _abl("dot1") and VX == V:
+                        # skip dot1, keep weights+dot2 (sublane-only
+                        # broadcast: 2-D broadcasts of a [1,1] scalar slice
+                        # don't lower).  With x-downsampled banks (VX < V)
+                        # no cheap [RM, VX] stand-in exists — the real dot1
+                        # stays and this ablation measures nothing.
+                        t1_ = Wy * (1.0 + slab[:1, :])
+                    else:
+                        t1_ = jax.lax.dot_general(
+                            Wy, slab, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                  # [RP, V(a)]
+                    y_parts.append(t1_.astype(wdt))
+                    x_parts.append(WxT)
 
-                # the fan runs at MARCH resolution, in march-cell units:
-                # march column m sits at rect offset m*ratio pixels, the
-                # march spacing is ratio pixels, and the K-pixel clamp is
-                # Kc = K/ratio cells (Km = ceil(Kc) static shift taps) —
-                # (RM/RP)^2 fewer fan divides/fmas AND ~ratio fewer taps
+                    if center and u == MID % U:
+                        # ONE light sample per ray, at the particle's
+                        # mid-depth step (masked weights -> tau = 0 out of
+                        # bounds, i.e. atten = 1 where P2 = 0 anyway)
+                        @pl.when(s == MID // U)
+                        def _tau_mid(Wy=Wy, WxT=WxT):
+                            if use_stack:
+                                if stack_resident:
+                                    ls = stacked(lvol_stacks[jo])
+                                else:
+                                    ls = lvol_mids[jo][0, 0]  # mid-slab block
+                            elif full_vol:
+                                ls = lerped_ref(lvol_full)
+                            else:
+                                ls = lerped(lvols_in[2 * u],
+                                            lvols_in[2 * u + 1])
+                            t1l = jax.lax.dot_general(
+                                Wy, ls, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                            acc[1] = jax.lax.dot_general(
+                                t1l.astype(wdt), WxT,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+
+              if not lit or center:
+                if _abl("dot2"):          # skip the merged contraction
+                    od = sum(p[:, :1] * 0.001 for p in y_parts) \
+                        + sum(p[:1, :].T[:RP] * 0.0 for p in x_parts)
+                else:
+                    # ONE [RM, U*V] x [U*V, RM] MXU contraction per grid
+                    # step: K is step-ordered, so the f32 accumulation order
+                    # matches the sequential per-step dot2s (and XLA)
+                    od = jax.lax.dot_general(
+                        jnp.concatenate(y_parts, axis=1) if U > 1
+                        else y_parts[0],
+                        jnp.concatenate(x_parts, axis=0) if U > 1
+                        else x_parts[0],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=prec)
+                acc[0] = acc[0] + od
+
+            # ---- epilogue: select, fan-warp, write --------------------------
+            def _write_one(i_, pre=None):
+                (lo_x, lo_y, lo_z, ext, scale, szn, vld,
+                 rx_row, ry_col) = pread(i_)
+                k_ = n * PW + i_
+                b_ = (jnp.int32(i_) if PAIR else b) if fused else None
+                sx0 = gfs(i_, _G_SX0)
+                sy0 = gfs(i_, _G_SY0)
+                # T is NOT shifted: T = 1 - P2 exactly (the OVER weights
+                # telescope: sum_s T_s alpha_s = 1 - T_final) and the shift
+                # weights sum to 1, so T_warped = 1 - P2_warped -- one less
+                # plane through the shift loop (unlit ships a single plane)
+                # planes at MARCH resolution: lit (P1, P2); unlit the
+                # LINEAR optical depth q = od * scale*dt — the whole fan +
+                # upsample chain below stays linear and ONE exp runs at the
+                # end (invalid rows have od = 0 -> P2 = 0 / T = 1)
+                if pre is not None:
+                    # packed pair fan already produced the exps and the
+                    # clamp count (_fan_pair); continue at the placement
+                    P1m, P2m = pre
+                    n_clamp = jnp.int32(0)
+                else:
+                    if PAIR:
+                        # extract this member's diagonal block from the paired
+                        # accumulator planes (vreg value slices; the off-diag
+                        # blocks are the packing's discarded cross terms)
+                        sl = slice(i_ * RM, (i_ + 1) * RM)
+                        a0 = acc[0][sl, sl]
+                        a1 = acc[1][sl, sl] if center else None
+                    else:
+                        a0 = acc[0]
+                        a1 = acc[1] if NP > 1 else None
+                    if lit and not center:
+                        img4 = [acc[p] for p in range(NP - 1)]
+                    elif center:
+                        # (q, tau') both LINEAR through the fan + upsample;
+                        # atten = exp(-tau') once at the end
+                        img4 = [a0 * geo[i_],
+                                (scale * ext) * jnp.maximum(a1, 0.0)]
+                    else:
+                        img4 = [a0 * geo[i_]]
+
+                    # the fan runs at MARCH resolution, in march-cell units:
+                    # march column m sits at rect offset m*ratio pixels, the
+                    # march spacing is ratio pixels, and the K-pixel clamp is
+                    # Kc = K/ratio cells (Km = ceil(Kc) static shift taps) —
+                    # (RM/RP)^2 fewer fan divides/fmas AND ~ratio fewer taps
+                    ratio = (RP - 1.0) / max(RM - 1, 1)
+                    Kc = K / ratio
+                    Km = K if RM == RP else -int(-Kc // 1)
+                    jj = jax.lax.broadcasted_iota(
+                        jnp.int32, (RM, RM), 0).astype(jnp.float32)
+                    ii = jax.lax.broadcasted_iota(
+                        jnp.int32, (RM, RM), 1).astype(jnp.float32)
+                    px_c = gfs(i_, _G_PXC)
+                    py_c = gfs(i_, _G_PYC)
+                    rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
+                    uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
+                    sxs, sys = camf_r[0, 12], camf_r[0, 13]
+                    iv = ii[0:1, :] * ratio              # [1, RM] pixel offsets
+                    jv = jj[:, 0:1] * ratio              # [RM, 1]
+                    dox_step = 2.0 * sxs / W_ * ratio    # ox per march column
+                    doy_step = -2.0 * sys / H_ * ratio
+
+                    def safe_div(num, den):
+                        sgn = jnp.where(den >= 0, 1.0, -1.0)
+                        return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
+
+                    # closed-form fan shifts (render/warp.fan_shifts: the literal
+                    # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
+                    doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
+                    dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
+                    if _abl("duchain"):   # skip the rational shift chains
+                        du = doy_j * 1e-6 + 0.0 * ii
+                    elif persp:
+                        ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
+                        oy_c = (1.0 - py_c * (2.0 / H_)) * sys
+                        D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
+                        Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
+                        Fy_i = uxc * D_ic - Nx_ic * uzc
+                        Gx_i = rxc * D_ic - Nx_ic * rzc
+                        D_ip1 = D_ic + dox_step * rzc
+                        D_ij = D_ic + doy_j * uzc                    # [RM, RM]
+                        # per-COLUMN rational factor hoisted to 1-D (only D_ij
+                        # genuinely varies in 2-D): one [1, RM] safe-div + one
+                        # [RM, RM] safe-div instead of two full [RM, RM]
+                        # multiply chains feeding one
+                        A_i = safe_div(Fy_i * D_ip1, dox_step * Gx_i)  # [1, RM]
+                        du = safe_div(doy_j * A_i, D_ij)
+                    else:
+                        Ax = rxc - rzc * kx
+                        Bx = uxc - uzc * kx
+                        du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
+                    clamped = ((du < -Kc) | (du > Kc - 1e-3)) & (vld > 0)
+                    du = jnp.clip(du, -Kc, Kc - 1e-3)
+                    du = jnp.maximum(du, -ii)
+                    du = jnp.minimum(du, (RM - 1.0 - 1e-3) - ii)
+                    n_clamp = jnp.sum(clamped.astype(jnp.int32))
+
+                    def shift_interp(planes, delta, axis):
+                        # combined-weight form: out = sum_d w_d * img[.+d] with
+                        # w_d = (d0==d)(1-fr) + (d0==d-1) fr — ONE slice + one
+                        # fma per plane per shift, the weight shared across
+                        # planes (the naive per-shift lerp costs ~3x more VPU)
+                        d0 = jnp.floor(delta)
+                        fr = delta - d0
+                        pads = []
+                        for img in planes:
+                            zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, RM),
+                                             jnp.float32)
+                            pads.append(jnp.concatenate([zpad, img, zpad],
+                                                        axis=axis))
+                        outs = [jnp.zeros((RM, RM), jnp.float32) for _ in planes]
+                        m_prev = jnp.zeros((RM, RM), jnp.float32)
+                        for dsh in range(-Km, Km + 1):
+                            m = ((d0 == dsh).astype(jnp.float32)
+                                 if dsh <= Km - 1 else jnp.float32(0.0))
+                            w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
+                            idx = [slice(None)] * 2
+                            idx[axis] = slice(Km + dsh, Km + dsh + RM)
+                            for p in range(len(planes)):
+                                outs[p] = outs[p] + w * pads[p][tuple(idx)]
+                            m_prev = m
+                        return outs
+
+                    if not _abl("fan"):
+                        # center mode: the attenuation plane (img4[1]) SKIPS the
+                        # fan — atten is a smooth field and the ±K px correction
+                        # is visually nil on it (PSNR-gated vs per-step light;
+                        # oracle mirrors the bypass), halving the fan VPU cost
+                        # of the lit presets
+                        if center:
+                            img4 = shift_interp(img4[:1], du, axis=1) \
+                                + list(img4[1:])
+                        else:
+                            img4 = shift_interp(img4, du, axis=1)
+                    if row_fan:
+                        if _abl("duchain"):
+                            dw = dox_i * 1e-6 + 0.0 * jj
+                        elif persp:
+                            oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
+                            ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
+                            D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
+                            Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
+                            Fx_j = ryc * D_cj - Ny_cj * rzc
+                            Gy_j = uyc * D_cj - Ny_cj * uzc
+                            D_jp1 = D_cj + doy_step * uzc
+                            D_ij2 = D_cj + dox_i * rzc
+                            B_j = safe_div(Fx_j * D_jp1,
+                                           doy_step * Gy_j)          # [RM, 1]
+                            dw = safe_div(dox_i * B_j, D_ij2)
+                        else:
+                            Ay = ryc - rzc * ky
+                            By = uyc - uzc * ky
+                            dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
+                        clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & (vld > 0)
+                        dw = jnp.clip(dw, -Kc, Kc - 1e-3)
+                        dw = jnp.maximum(dw, -jj)
+                        dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
+                        n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
+                        if not _abl("fan"):
+                            if center:
+                                img4 = shift_interp(img4[:1], dw, axis=0) \
+                                    + list(img4[1:])
+                            else:
+                                img4 = shift_interp(img4, dw, axis=0)
+
+                    # The unlit/center exps run AT MARCH RESOLUTION, before the
+                    # upsample: the upsampled quantity is the saturated opacity
+                    # P2 (and P1), not the linear optical depth — the classic
+                    # reduced-resolution-impostor choice, mirrored by the
+                    # oracle.  This keeps the exp on [RM, RM] instead of the
+                    # (much larger) rect/window planes.  Lit per-step planes
+                    # are already (P1, P2) and are unaffected.
+                    if lit and not center:
+                        P1m, P2m = img4
+                    elif center:
+                        qm, tpm = img4
+                        if _abl("exps"):
+                            P2m, P1m = qm, tpm + qm
+                        else:
+                            P2m = 1.0 - jnp.exp(-qm)
+                            P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth
+                            #                             atten
+                    else:
+                        qm, = img4
+                        P2m = (qm if _abl("exps")
+                               else 1.0 - jnp.exp(-qm))
+                        P1m = P2m    # atten == 1: P1 degenerates to P2
+                # unlit places/upsamples ONE plane (P1 is an alias of P2)
+                one_plane = not lit
+
+                # hat-upsample march grid -> rect (identity when RM == RP).
+                # FUSED: the (dy, dx) sub-tile canvas placement FOLDS INTO
+                # the upsample weights — everything from here on is linear
+                # in the planes, so upsampling straight into window
+                # coordinates replaces the old pad-buffer + 8 pltpu.rolls
+                # per particle (the single largest composite VPU cost).
+                # Window rows/cols outside the rect get hat position -2 =>
+                # all-zero weight row => exactly the OVER identity
+                # (P = 0, T = 1) the pad ring used to provide.  Weight
+                # VALUES and the contraction order are bit-identical to
+                # upsample_weights + roll placement; with RM == RP the
+                # weights are an exact {0, 1} permutation and the matmuls
+                # run f32/HIGHEST, so no new rounding point exists vs the
+                # rolls.
+                if fused:
+                    ratio_m = float(np.float32(RM - 1)
+                                    / np.float32(max(RP - 1, 1)))
+                    exact = RM == RP and not CELLS
+                    pdt = jnp.float32 if exact else wdt
+                    pprec = jax.lax.Precision.HIGHEST if exact else prec
+                    # placement position: dyf/dxu = the particle's
+                    # (fractional in coarse mode) placement origin minus the
+                    # window corner, in canvas y/x units (_G_AYF/_G_AXF are
+                    # host-computed, the corners are the prefetched refs)
+                    dyf = gfs(i_, _G_AYF) - oy_ref[k_].astype(jnp.float32)
+                    dxu = gfs(i_, _G_AXF) \
+                        - ox_ref[k_].astype(jnp.float32) * (1.0 / cg.e)
+                    iww = jax.lax.broadcasted_iota(
+                        jnp.int32, (WH, 1), 0).astype(jnp.float32)
+                    posy = iww - dyf            # rect row / cell offset
+                    if CELLS:
+                        # canvas cells: map cell offsets to march cells by
+                        # the static C2M factor (1.0 exactly in coarse mode
+                        # — canvas cells ARE march cells there); the
+                        # fractional hat tent IS the support (no
+                        # outside-rect mask — hat() is zero past it)
+                        gyp = posy * C2M
+                    else:
+                        gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
+                                        posy * ratio_m, -2.0)    # [WH, 1]
+                    m_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (WH, RM), 1).astype(jnp.float32)
+                    Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
+                        .astype(pdt)                             # [WH, RM]
+                    planes_m = [P2m] if one_plane else [P1m, P2m]
+                    if not _abl("up"):
+                        # the y-side contraction is shared by both window
+                        # halves
+                        t_list = [jax.lax.dot_general(
+                            Uyp, p.astype(pdt), (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=pprec).astype(pdt)
+                            for p in planes_m]                   # [WH, RM]
+
+                    def _hat_x(off, wwn):
+                        """x placement hat matrix [RM, wwn] (+ the lane
+                        channel phase [1, wwn] in ILV mode)."""
+                        jwn = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, wwn), 1) + off
+                        if ILV:
+                            # lane l covers canvas cell (ox + l) // 4 and
+                            # channel (ox + l) % 4; ox is 128-aligned so
+                            # the phase is l % 4
+                            ph = jwn - (jwn // 4) * 4
+                            posx = (jwn - ph).astype(jnp.float32) * 0.25 \
+                                - dxu
+                        else:
+                            ph = None
+                            posx = jwn.astype(jnp.float32) - dxu
+                        if CELLS:
+                            gxp = posx * C2M
+                        else:
+                            gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
+                                            posx * ratio_m, -2.0)
+                        k_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (RM, wwn), 0).astype(jnp.float32)
+                        return jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)), ph
+
+                    def xplace(off, wwn):
+                        """Placed window-column update for [off, off+wwn):
+                        a list of placed (P1, P2) planes — or, in ILV mode,
+                        the single channel-expanded update matrix U with
+                        win += TW4 * U (TW4 = the window's own T lanes
+                        spread to all 4 channel phases)."""
+                        if _abl("up"):    # skip the placement matmuls
+                            # (scalar splat keeps the data dependency; 2-D
+                            # broadcasts of [1,1] slices don't lower)
+                            zs = [jnp.zeros((WH, wwn), jnp.float32)
+                                  + jnp.sum(p) * 1e-9 for p in planes_m]
+                            return zs[0] if ILV else zs
+                        if not ILV:
+                            Uxp, _ = _hat_x(off, wwn)
+                            Uxp = Uxp.astype(pdt)                # [RM, wwn]
+                            return [jax.lax.dot_general(
+                                t, Uxp, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=pprec) for t in t_list]
+                        # ILV: fold the per-channel scalar coefficients into
+                        # the x weights (W[k, 4x+c] = hat * A[c]) so ONE
+                        # matmul produces the interleaved update for all 4
+                        # channels: U[w, l] = sum_k t_cat[w, k] * W[k, l]
+                        #                   = c1[l%4]*P1p + c2[l%4]*P2p
+                        H, ph = _hat_x(off, wwn)                 # [RM, wwn]
+                        phf = ph.astype(jnp.float32)
+                        alb = [gfs(i_, _G_ALB_R + ch) for ch in range(3)]
+
+                        def lanevec(c0, c1, c2, c3):
+                            return jnp.where(
+                                phf == 0.0, c0, jnp.where(
+                                    phf == 1.0, c1, jnp.where(
+                                        phf == 2.0, c2, c3)))    # [1, wwn]
+                        if one_plane:
+                            # unlit: upd = alb*(lcol+amb) * T2; T -= T2
+                            A = lanevec(
+                                alb[0] * (lightf_r[0, 0] + lightf_r[0, 3]),
+                                alb[1] * (lightf_r[0, 1] + lightf_r[0, 4]),
+                                alb[2] * (lightf_r[0, 2] + lightf_r[0, 5]),
+                                -1.0)
+                            W = (H * A).astype(pdt)
+                            tc = t_list[0]
+                        else:
+                            A1 = lanevec(alb[0] * lightf_r[0, 0],
+                                         alb[1] * lightf_r[0, 1],
+                                         alb[2] * lightf_r[0, 2], 0.0)
+                            A2 = lanevec(alb[0] * lightf_r[0, 3],
+                                         alb[1] * lightf_r[0, 4],
+                                         alb[2] * lightf_r[0, 5], -1.0)
+                            W = jnp.concatenate(
+                                [(H * A1).astype(pdt), (H * A2).astype(pdt)],
+                                axis=0)                          # [2RM, wwn]
+                            tc = jnp.concatenate(t_list, axis=1)  # [WH, 2RM]
+                        return jax.lax.dot_general(
+                            tc, W, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=pprec)                     # [WH, wwn]
+
+                if fused:
+                    pass   # placement + RMW happen per window half below
+                elif RM != RP:
+                    def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
+                        if _abl("up"):    # skip the upsample matmuls
+                            # (scalar splat keeps the data dependency; 2-D
+                            # broadcasts of [1,1] slices don't lower)
+                            return jnp.zeros((RP, RP), jnp.float32) \
+                                + jnp.sum(pln) * 1e-9
+                        t_ = jax.lax.dot_general(
+                            uy_r[...], pln.astype(wdt),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                        return jax.lax.dot_general(
+                            t_.astype(wdt), ux_r[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                    ups = ([up(P2m)] if one_plane else [up(P1m), up(P2m)])
+                    P1, P2 = (ups[0], ups[0]) if one_plane else ups
+                else:
+                    P1, P2 = P1m, P2m
+
+                # RGB expansion: C_ch = alb*(lcol*P1 + amb*P2) — at rect
+                # resolution unfused, at WINDOW resolution fused (outside
+                # the rect P1 = P2 = 0, exactly the OVER identity)
+                if not fused:
+                    Tpl = 1.0 - P2
+                    for ch in range(3):
+                        alb = gfs(0, _G_ALB_R + ch)
+                        img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
+                                                 + lightf_r[0, 3 + ch] * P2)
+                                          ).astype(img_out.dtype)
+                    img_out[0, 3] = Tpl.astype(img_out.dtype)
+
+                clamp_out[0, 0] = clamp_out[0, 0] + n_clamp
+
+                if fused:
+                    # ---- fused composite: RMW this particle's canvas
+                    # window in place, per window half.  The placed planes
+                    # feed the RGB expansion straight into the RMW — no
+                    # pad buffer, no rolls.
+                    def rmw(col0, wwn, placed):
+                        """RMW window columns [col0, col0+wwn) of win[b_]."""
+                        if _abl("comp"):   # keep DMAs, skip the RMW
+                            return
+                        if ILV:
+                            # placed == U (channel-expanded update):
+                            # win += TW4 * U, where TW4 spreads the window's
+                            # own T lanes (phase 3) to all 4 channel phases
+                            # by three static lane rolls — the adds only
+                            # ever combine one non-zero term per lane, and
+                            # the circular wrap lands on non-matching
+                            # phases (wwn % 4 == 0), so TW4 is exact.
+                            w = win[b_, :, col0:col0 + wwn] \
+                                .astype(jnp.float32)
+                            lane = jax.lax.broadcasted_iota(
+                                jnp.int32, (WH, wwn), 1)
+                            m3 = jnp.where(lane - (lane // 4) * 4 == 3,
+                                           w, 0.0)
+                            tw4 = m3
+                            for rr_ in (1, 2, 3):
+                                tw4 = tw4 + pltpu.roll(m3, wwn - rr_, 1)
+                            win[b_, :, col0:col0 + wwn] = \
+                                (w + tw4 * placed).astype(cdt)
+                            return
+                        P1h, P2h = ((placed[0], placed[0]) if one_plane
+                                    else placed)
+                        Tw = win[b_, 3, :, col0:col0 + wwn] \
+                            .astype(jnp.float32)
+                        # scalar-weight hoist: the window-sized products
+                        # T2 = Tw*P2 (and T1 = Tw*P1) are shared across
+                        # channels, each channel fma then uses SCALAR
+                        # coefficients only (unlit folds to ONE fma:
+                        # alb*(lcol+amb) is a scalar), and the T update is
+                        # Tw - T2 == Tw*(1 - P2) reassociated
+                        T2 = Tw * P2h
+                        T1 = T2 if one_plane else Tw * P1h
+                        for ch in range(3):
+                            alb = gfs(i_, _G_ALB_R + ch)
+                            if one_plane:
+                                cc = alb * (lightf_r[0, ch]
+                                            + lightf_r[0, 3 + ch])
+                                upd = cc * T2
+                            else:
+                                upd = (alb * lightf_r[0, ch]) * T1 \
+                                    + (alb * lightf_r[0, 3 + ch]) * T2
+                            win[b_, ch, :, col0:col0 + wwn] = (
+                                win[b_, ch, :, col0:col0 + wwn]
+                                .astype(jnp.float32) + upd).astype(cdt)
+                        win[b_, 3, :, col0:col0 + wwn] = (Tw - T2).astype(cdt)
+
+                    if PAIR and i_ == 1:
+                        # deferred q fetch: q's window overlaps p's, so its
+                        # fetch had to wait for p's write-back (started just
+                        # above in the i_ == 0 iteration); the protocol's
+                        # overlap wait now sees that copy
+                        @pl.when(ov_ref[k_] == 1)
+                        def _deferred_fetch():
+                            fetch_seq(k_, b_)
+
+                    if not _abl("windma"):
+                        cinA_desc(k_, b_).wait()
+                    rmw(0, WWA, xplace(0, WWA))
+                    if not _abl("windma"):
+                        coutA_desc(k_, b_).start()
+
+                    if WWB:
+                        # rare wide particles touch columns >= WWA: fetch,
+                        # RMW and write back the B half SYNCHRONOUSLY
+                        @pl.when(wide_ref[k_] == 1)
+                        def _b_half():
+                            if _abl("windma"):   # keep the compute,
+                                rmw(WWA, WWB, xplace(WWA, WWB))  # skip DMAs
+                                return
+                            cinB_desc(k_, b_).start()
+                            placed_b = xplace(WWA, WWB)
+                            cinB_desc(k_, b_).wait()
+                            rmw(WWA, WWB, placed_b)
+                            cb = coutB_desc(k_, b_)
+                            cb.start()
+                            cb.wait()
+
+
+            def _fan_pair():
+                """Packed pair fan: both members' march planes sit side by
+                side on the LANE axis ([RM, MR]), so every 2-D op in the du
+                chain, the shift taps, and the exps runs at full lane width
+                (the per-member [RM, RM] shapes only fill half a vreg).
+                The shift clamps use LOCAL column indices, which pins every
+                nonzero shift tap inside its own lane block — cross-block
+                reads only ever multiply an exact 0.0 weight — so each
+                block is bit-identical to the unpaired fan.  Returns
+                ([(P1m, P2m)] per member, shift-clamp count)."""
                 ratio = (RP - 1.0) / max(RM - 1, 1)
                 Kc = K / ratio
                 Km = K if RM == RP else -int(-Kc // 1)
-                jj = jax.lax.broadcasted_iota(
-                    jnp.int32, (RM, RM), 0).astype(jnp.float32)
-                ii = jax.lax.broadcasted_iota(
-                    jnp.int32, (RM, RM), 1).astype(jnp.float32)
-                px_c = gfs(i_, _G_PXC)
-                py_c = gfs(i_, _G_PYC)
+                jv = jax.lax.broadcasted_iota(
+                    jnp.int32, (RM, 1), 0).astype(jnp.float32) * ratio
+                i1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, RM), 1).astype(jnp.float32)
+                iv = i1 * ratio                      # [1, RM] pixel offsets
+                iil = jnp.concatenate([i1] * PW, axis=1)   # LOCAL col index
                 rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
                 uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
                 sxs, sys = camf_r[0, 12], camf_r[0, 13]
-                iv = ii[0:1, :] * ratio              # [1, RM] pixel offsets
-                jv = jj[:, 0:1] * ratio              # [RM, 1]
-                dox_step = 2.0 * sxs / W_ * ratio    # ox per march column
+                dox_step = 2.0 * sxs / W_ * ratio
                 doy_step = -2.0 * sys / H_ * ratio
 
                 def safe_div(num, den):
                     sgn = jnp.where(den >= 0, 1.0, -1.0)
                     return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
 
-                # closed-form fan shifts (render/warp.fan_shifts: the literal
-                # (rx_p - rx_u)/spacing form is a ~3000x fp32-ulp amplifier)
-                doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
-                dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
-                if _abl("duchain"):   # skip the rational shift chains
-                    du = doy_j * 1e-6 + 0.0 * ii
+                def bcat(cols):                      # [1, RM] x PW -> [1, MR]
+                    return jnp.concatenate(cols, axis=1)
+
+                def rcat(rows):                      # [RM, 1] x PW -> [RM, MR]
+                    return jnp.concatenate(
+                        [jnp.broadcast_to(r, (RM, RM)) for r in rows], axis=1)
+
+                doyj_i, D_ic_i, A_i_i, vm_i = [], [], [], []
+                doxi_i, Bj_i, Dcj_i = [], [], []
+                for i_ in range(PW):
+                    px_c = gfs(i_, _G_PXC)
+                    py_c = gfs(i_, _G_PYC)
+                    sx0 = gfs(i_, _G_SX0)
+                    sy0 = gfs(i_, _G_SY0)
+                    vldi = gfs(i_, _G_VALID)
+                    doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
+                    doyj_i.append(doy_j)
+                    # f32 on the lane concat: Mosaic cannot relayout i1
+                    # vectors across the packed-lane cat in every canvas
+                    # layout (bitcast_vreg i1->i32 fails under coarse/ilv);
+                    # compare back to bool after bcat
+                    vm_i.append(jnp.broadcast_to(
+                        (vldi > 0).astype(jnp.float32), (1, RM)))
+                    if persp:
+                        ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
+                        oy_c = (1.0 - py_c * (2.0 / H_)) * sys
+                        D_ic = fwd_z + ox_i * rzc + oy_c * uzc   # [1, RM]
+                        Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
+                        Fy_i = uxc * D_ic - Nx_ic * uzc
+                        Gx_i = rxc * D_ic - Nx_ic * rzc
+                        D_ip1 = D_ic + dox_step * rzc
+                        D_ic_i.append(D_ic)
+                        A_i_i.append(safe_div(Fy_i * D_ip1,
+                                              dox_step * Gx_i))
+                    if row_fan:
+                        dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
+                        doxi_i.append(dox_i)
+                        if persp:
+                            oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) \
+                                * sys
+                            ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
+                            D_cj = fwd_z + oy_j * uzc + ox_c * rzc  # [RM, 1]
+                            Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
+                            Fx_j = ryc * D_cj - Ny_cj * rzc
+                            Gy_j = uyc * D_cj - Ny_cj * uzc
+                            D_jp1 = D_cj + doy_step * uzc
+                            Dcj_i.append(D_cj)
+                            Bj_i.append(safe_div(Fx_j * D_jp1,
+                                                 doy_step * Gy_j))
+
+                doyj_p = rcat(doyj_i)                # [RM, MR]
+                vmask = bcat(vm_i) > 0.5
+                if _abl("duchain"):   # skip the 2-D rational shift chains
+                    du = doyj_p * 1e-6
                 elif persp:
-                    ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
-                    oy_c = (1.0 - py_c * (2.0 / H_)) * sys
-                    D_ic = fwd_z + ox_i * rzc + oy_c * uzc       # [1, RM]
-                    Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
-                    Fy_i = uxc * D_ic - Nx_ic * uzc
-                    Gx_i = rxc * D_ic - Nx_ic * rzc
-                    D_ip1 = D_ic + dox_step * rzc
-                    D_ij = D_ic + doy_j * uzc                    # [RM, RM]
-                    # per-COLUMN rational factor hoisted to 1-D (only D_ij
-                    # genuinely varies in 2-D): one [1, RM] safe-div + one
-                    # [RM, RM] safe-div instead of two full [RM, RM]
-                    # multiply chains feeding one
-                    A_i = safe_div(Fy_i * D_ip1, dox_step * Gx_i)  # [1, RM]
-                    du = safe_div(doy_j * A_i, D_ij)
+                    D_ij = bcat(D_ic_i) + doyj_p * uzc
+                    du = safe_div(doyj_p * bcat(A_i_i), D_ij)
                 else:
                     Ax = rxc - rzc * kx
                     Bx = uxc - uzc * kx
-                    du = safe_div(doy_j * Bx, dox_step * Ax) + 0.0 * ii
-                clamped = ((du < -Kc) | (du > Kc - 1e-3)) & (vld > 0)
+                    du = safe_div(doyj_p * Bx, dox_step * Ax)
+                clamped = ((du < -Kc) | (du > Kc - 1e-3)) & vmask
                 du = jnp.clip(du, -Kc, Kc - 1e-3)
-                du = jnp.maximum(du, -ii)
-                du = jnp.minimum(du, (RM - 1.0 - 1e-3) - ii)
+                du = jnp.maximum(du, -iil)
+                du = jnp.minimum(du, (RM - 1.0 - 1e-3) - iil)
                 n_clamp = jnp.sum(clamped.astype(jnp.int32))
 
-                def shift_interp(planes, delta, axis):
-                    # combined-weight form: out = sum_d w_d * img[.+d] with
-                    # w_d = (d0==d)(1-fr) + (d0==d-1) fr — ONE slice + one
-                    # fma per plane per shift, the weight shared across
-                    # planes (the naive per-shift lerp costs ~3x more VPU)
+                def shift_packed(img, delta, axis):
                     d0 = jnp.floor(delta)
                     fr = delta - d0
-                    pads = []
-                    for img in planes:
-                        zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, RM),
-                                         jnp.float32)
-                        pads.append(jnp.concatenate([zpad, img, zpad],
-                                                    axis=axis))
-                    outs = [jnp.zeros((RM, RM), jnp.float32) for _ in planes]
-                    m_prev = jnp.zeros((RM, RM), jnp.float32)
+                    zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, MR),
+                                     jnp.float32)
+                    pad = jnp.concatenate([zpad, img, zpad], axis=axis)
+                    out = jnp.zeros((RM, MR), jnp.float32)
+                    m_prev = jnp.zeros((RM, MR), jnp.float32)
+                    ln = MR if axis == 1 else RM
                     for dsh in range(-Km, Km + 1):
                         m = ((d0 == dsh).astype(jnp.float32)
                              if dsh <= Km - 1 else jnp.float32(0.0))
-                        w = m + fr * (m_prev - m)   # m*(1-fr) + m_prev*fr
+                        w = m + fr * (m_prev - m)
                         idx = [slice(None)] * 2
-                        idx[axis] = slice(Km + dsh, Km + dsh + RM)
-                        for p in range(len(planes)):
-                            outs[p] = outs[p] + w * pads[p][tuple(idx)]
+                        idx[axis] = slice(Km + dsh, Km + dsh + ln)
+                        out = out + w * pad[tuple(idx)]
                         m_prev = m
-                    return outs
+                    return out
+
+                # packed planes: diagonal blocks side by side on lanes
+                a0 = acc[0]
+                geo_p = jnp.concatenate([geo[i_] for i_ in range(PW)],
+                                        axis=1)
+                q_p = jnp.concatenate(
+                    [a0[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
+                     for i_ in range(PW)], axis=1) * geo_p
+                if center:
+                    a1 = acc[1]
+                    se_p = bcat([jnp.broadcast_to(
+                        gfs(i_, _G_SCALE) * gfs(i_, _G_EXT), (1, RM))
+                        for i_ in range(PW)])
+                    t_p = se_p * jnp.maximum(jnp.concatenate(
+                        [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
+                         for i_ in range(PW)], axis=1), 0.0)
 
                 if not _abl("fan"):
-                    # center mode: the attenuation plane (img4[1]) SKIPS the
-                    # fan — atten is a smooth field and the ±K px correction
-                    # is visually nil on it (PSNR-gated vs per-step light;
-                    # oracle mirrors the bypass), halving the fan VPU cost
-                    # of the lit presets
-                    if center:
-                        img4 = shift_interp(img4[:1], du, axis=1) \
-                            + list(img4[1:])
-                    else:
-                        img4 = shift_interp(img4, du, axis=1)
+                    q_p = shift_packed(q_p, du, 1)
                 if row_fan:
+                    jjc = jax.lax.broadcasted_iota(
+                        jnp.int32, (RM, 1), 0).astype(jnp.float32)
                     if _abl("duchain"):
-                        dw = dox_i * 1e-6 + 0.0 * jj
+                        dw = bcat(doxi_i) * 1e-6 + 0.0 * doyj_p
                     elif persp:
-                        oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) * sys
-                        ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
-                        D_cj = fwd_z + oy_j * uzc + ox_c * rzc   # [RM, 1]
-                        Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
-                        Fx_j = ryc * D_cj - Ny_cj * rzc
-                        Gy_j = uyc * D_cj - Ny_cj * uzc
-                        D_jp1 = D_cj + doy_step * uzc
-                        D_ij2 = D_cj + dox_i * rzc
-                        B_j = safe_div(Fx_j * D_jp1,
-                                       doy_step * Gy_j)          # [RM, 1]
-                        dw = safe_div(dox_i * B_j, D_ij2)
+                        D_ij2 = jnp.concatenate(
+                            [Dcj_i[i_] + doxi_i[i_] * rzc
+                             for i_ in range(PW)], axis=1)
+                        dw = safe_div(jnp.concatenate(
+                            [doxi_i[i_] * Bj_i[i_] for i_ in range(PW)],
+                            axis=1), D_ij2)
                     else:
                         Ay = ryc - rzc * ky
                         By = uyc - uzc * ky
-                        dw = safe_div(dox_i * Ay, doy_step * By) + 0.0 * jj
-                    clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & (vld > 0)
+                        dw = safe_div(
+                            bcat(doxi_i) * Ay, doy_step * By) + 0.0 * doyj_p
+                    clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & vmask
                     dw = jnp.clip(dw, -Kc, Kc - 1e-3)
-                    dw = jnp.maximum(dw, -jj)
-                    dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jj)
+                    dw = jnp.maximum(dw, -jjc)
+                    dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jjc)
                     n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
                     if not _abl("fan"):
-                        if center:
-                            img4 = shift_interp(img4[:1], dw, axis=0) \
-                                + list(img4[1:])
-                        else:
-                            img4 = shift_interp(img4, dw, axis=0)
+                        q_p = shift_packed(q_p, dw, 0)
 
-                # The unlit/center exps run AT MARCH RESOLUTION, before the
-                # upsample: the upsampled quantity is the saturated opacity
-                # P2 (and P1), not the linear optical depth — the classic
-                # reduced-resolution-impostor choice, mirrored by the
-                # oracle.  This keeps the exp on [RM, RM] instead of the
-                # (much larger) rect/window planes.  Lit per-step planes
-                # are already (P1, P2) and are unaffected.
-                if lit and not center:
-                    P1m, P2m = img4
-                elif center:
-                    qm, tpm = img4
-                    if _abl("exps"):
-                        P2m, P1m = qm, tpm + qm
-                    else:
-                        P2m = 1.0 - jnp.exp(-qm)
-                        P1m = jnp.exp(-tpm) * P2m   # per-ray mid-depth
-                        #                             atten
+                # exps at march resolution, packed
+                if _abl("exps"):
+                    P2m_p = q_p
+                    P1m_p = t_p + q_p if center else q_p
                 else:
-                    qm, = img4
-                    P2m = (qm if _abl("exps")
-                           else 1.0 - jnp.exp(-qm))
-                    P1m = P2m    # atten == 1: P1 degenerates to P2
-            # unlit places/upsamples ONE plane (P1 is an alias of P2)
-            one_plane = not lit
+                    P2m_p = 1.0 - jnp.exp(-q_p)
+                    P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
+                pres = [(P1m_p[:, i_ * RM:(i_ + 1) * RM],
+                         P2m_p[:, i_ * RM:(i_ + 1) * RM])
+                        for i_ in range(PW)]
+                return pres, n_clamp
 
-            # hat-upsample march grid -> rect (identity when RM == RP).
-            # FUSED: the (dy, dx) sub-tile canvas placement FOLDS INTO
-            # the upsample weights — everything from here on is linear
-            # in the planes, so upsampling straight into window
-            # coordinates replaces the old pad-buffer + 8 pltpu.rolls
-            # per particle (the single largest composite VPU cost).
-            # Window rows/cols outside the rect get hat position -2 =>
-            # all-zero weight row => exactly the OVER identity
-            # (P = 0, T = 1) the pad ring used to provide.  Weight
-            # VALUES and the contraction order are bit-identical to
-            # upsample_weights + roll placement; with RM == RP the
-            # weights are an exact {0, 1} permutation and the matmuls
-            # run f32/HIGHEST, so no new rounding point exists vs the
-            # rolls.
-            if fused:
-                ratio_m = float(np.float32(RM - 1)
-                                / np.float32(max(RP - 1, 1)))
-                exact = RM == RP and not CELLS
-                pdt = jnp.float32 if exact else wdt
-                pprec = jax.lax.Precision.HIGHEST if exact else prec
-                # placement position: dyf/dxu = the particle's
-                # (fractional in coarse mode) placement origin minus the
-                # window corner, in canvas y/x units (_G_AYF/_G_AXF are
-                # host-computed, the corners are the prefetched refs)
-                dyf = gfs(i_, _G_AYF) - oy_ref[k_].astype(jnp.float32)
-                dxu = gfs(i_, _G_AXF) \
-                    - ox_ref[k_].astype(jnp.float32) * (1.0 / cg.e)
-                iww = jax.lax.broadcasted_iota(
-                    jnp.int32, (WH, 1), 0).astype(jnp.float32)
-                posy = iww - dyf            # rect row / cell offset
-                if CELLS:
-                    # canvas cells: map cell offsets to march cells by
-                    # the static C2M factor (1.0 exactly in coarse mode
-                    # — canvas cells ARE march cells there); the
-                    # fractional hat tent IS the support (no
-                    # outside-rect mask — hat() is zero past it)
-                    gyp = posy * C2M
-                else:
-                    gyp = jnp.where((posy >= 0) & (posy <= RP - 1),
-                                    posy * ratio_m, -2.0)    # [WH, 1]
-                m_i = jax.lax.broadcasted_iota(
-                    jnp.int32, (WH, RM), 1).astype(jnp.float32)
-                Uyp = jnp.maximum(0.0, 1.0 - jnp.abs(gyp - m_i)) \
-                    .astype(pdt)                             # [WH, RM]
-                planes_m = [P2m] if one_plane else [P1m, P2m]
-                if not _abl("up"):
-                    # the y-side contraction is shared by both window
-                    # halves
-                    t_list = [jax.lax.dot_general(
-                        Uyp, p.astype(pdt), (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=pprec).astype(pdt)
-                        for p in planes_m]                   # [WH, RM]
-
-                def _hat_x(off, wwn):
-                    """x placement hat matrix [RM, wwn] (+ the lane
-                    channel phase [1, wwn] in ILV mode)."""
-                    jwn = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, wwn), 1) + off
-                    if ILV:
-                        # lane l covers canvas cell (ox + l) // 4 and
-                        # channel (ox + l) % 4; ox is 128-aligned so
-                        # the phase is l % 4
-                        ph = jwn - (jwn // 4) * 4
-                        posx = (jwn - ph).astype(jnp.float32) * 0.25 \
-                            - dxu
-                    else:
-                        ph = None
-                        posx = jwn.astype(jnp.float32) - dxu
-                    if CELLS:
-                        gxp = posx * C2M
-                    else:
-                        gxp = jnp.where((posx >= 0) & (posx <= RP - 1),
-                                        posx * ratio_m, -2.0)
-                    k_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (RM, wwn), 0).astype(jnp.float32)
-                    return jnp.maximum(0.0, 1.0 - jnp.abs(k_i - gxp)), ph
-
-                def xplace(off, wwn):
-                    """Placed window-column update for [off, off+wwn):
-                    a list of placed (P1, P2) planes — or, in ILV mode,
-                    the single channel-expanded update matrix U with
-                    win += TW4 * U (TW4 = the window's own T lanes
-                    spread to all 4 channel phases)."""
-                    if _abl("up"):    # skip the placement matmuls
-                        # (scalar splat keeps the data dependency; 2-D
-                        # broadcasts of [1,1] slices don't lower)
-                        zs = [jnp.zeros((WH, wwn), jnp.float32)
-                              + jnp.sum(p) * 1e-9 for p in planes_m]
-                        return zs[0] if ILV else zs
-                    if not ILV:
-                        Uxp, _ = _hat_x(off, wwn)
-                        Uxp = Uxp.astype(pdt)                # [RM, wwn]
-                        return [jax.lax.dot_general(
-                            t, Uxp, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=pprec) for t in t_list]
-                    # ILV: fold the per-channel scalar coefficients into
-                    # the x weights (W[k, 4x+c] = hat * A[c]) so ONE
-                    # matmul produces the interleaved update for all 4
-                    # channels: U[w, l] = sum_k t_cat[w, k] * W[k, l]
-                    #                   = c1[l%4]*P1p + c2[l%4]*P2p
-                    H, ph = _hat_x(off, wwn)                 # [RM, wwn]
-                    phf = ph.astype(jnp.float32)
-                    alb = [gfs(i_, _G_ALB_R + ch) for ch in range(3)]
-
-                    def lanevec(c0, c1, c2, c3):
-                        return jnp.where(
-                            phf == 0.0, c0, jnp.where(
-                                phf == 1.0, c1, jnp.where(
-                                    phf == 2.0, c2, c3)))    # [1, wwn]
-                    if one_plane:
-                        # unlit: upd = alb*(lcol+amb) * T2; T -= T2
-                        A = lanevec(
-                            alb[0] * (lightf_r[0, 0] + lightf_r[0, 3]),
-                            alb[1] * (lightf_r[0, 1] + lightf_r[0, 4]),
-                            alb[2] * (lightf_r[0, 2] + lightf_r[0, 5]),
-                            -1.0)
-                        W = (H * A).astype(pdt)
-                        tc = t_list[0]
-                    else:
-                        A1 = lanevec(alb[0] * lightf_r[0, 0],
-                                     alb[1] * lightf_r[0, 1],
-                                     alb[2] * lightf_r[0, 2], 0.0)
-                        A2 = lanevec(alb[0] * lightf_r[0, 3],
-                                     alb[1] * lightf_r[0, 4],
-                                     alb[2] * lightf_r[0, 5], -1.0)
-                        W = jnp.concatenate(
-                            [(H * A1).astype(pdt), (H * A2).astype(pdt)],
-                            axis=0)                          # [2RM, wwn]
-                        tc = jnp.concatenate(t_list, axis=1)  # [WH, 2RM]
-                    return jax.lax.dot_general(
-                        tc, W, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=pprec)                     # [WH, wwn]
-
-            if fused:
-                pass   # placement + RMW happen per window half below
-            elif RM != RP:
-                def up(pln):      # [RM, RM] -> [RP, RP], f32 accum
-                    if _abl("up"):    # skip the upsample matmuls
-                        # (scalar splat keeps the data dependency; 2-D
-                        # broadcasts of [1,1] slices don't lower)
-                        return jnp.zeros((RP, RP), jnp.float32) \
-                            + jnp.sum(pln) * 1e-9
-                    t_ = jax.lax.dot_general(
-                        uy_r[...], pln.astype(wdt),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
-                    return jax.lax.dot_general(
-                        t_.astype(wdt), ux_r[...],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec)
-                ups = ([up(P2m)] if one_plane else [up(P1m), up(P2m)])
-                P1, P2 = (ups[0], ups[0]) if one_plane else ups
-            else:
-                P1, P2 = P1m, P2m
-
-            # RGB expansion: C_ch = alb*(lcol*P1 + amb*P2) — at rect
-            # resolution unfused, at WINDOW resolution fused (outside
-            # the rect P1 = P2 = 0, exactly the OVER identity)
-            if not fused:
-                Tpl = 1.0 - P2
-                for ch in range(3):
-                    alb = gfs(0, _G_ALB_R + ch)
-                    img_out[0, ch] = (alb * (lightf_r[0, ch] * P1
-                                             + lightf_r[0, 3 + ch] * P2)
-                                      ).astype(img_out.dtype)
-                img_out[0, 3] = Tpl.astype(img_out.dtype)
-
-            clamp_out[0, 0] = clamp_out[0, 0] + n_clamp
-
-            if fused:
-                # ---- fused composite: RMW this particle's canvas
-                # window in place, per window half.  The placed planes
-                # feed the RGB expansion straight into the RMW — no
-                # pad buffer, no rolls.
-                def rmw(col0, wwn, placed):
-                    """RMW window columns [col0, col0+wwn) of win[b_]."""
-                    if _abl("comp"):   # keep DMAs, skip the RMW
-                        return
-                    if ILV:
-                        # placed == U (channel-expanded update):
-                        # win += TW4 * U, where TW4 spreads the window's
-                        # own T lanes (phase 3) to all 4 channel phases
-                        # by three static lane rolls — the adds only
-                        # ever combine one non-zero term per lane, and
-                        # the circular wrap lands on non-matching
-                        # phases (wwn % 4 == 0), so TW4 is exact.
-                        w = win[b_, :, col0:col0 + wwn] \
-                            .astype(jnp.float32)
-                        lane = jax.lax.broadcasted_iota(
-                            jnp.int32, (WH, wwn), 1)
-                        m3 = jnp.where(lane - (lane // 4) * 4 == 3,
-                                       w, 0.0)
-                        tw4 = m3
-                        for rr_ in (1, 2, 3):
-                            tw4 = tw4 + pltpu.roll(m3, wwn - rr_, 1)
-                        win[b_, :, col0:col0 + wwn] = \
-                            (w + tw4 * placed).astype(cdt)
-                        return
-                    P1h, P2h = ((placed[0], placed[0]) if one_plane
-                                else placed)
-                    Tw = win[b_, 3, :, col0:col0 + wwn] \
-                        .astype(jnp.float32)
-                    # scalar-weight hoist: the window-sized products
-                    # T2 = Tw*P2 (and T1 = Tw*P1) are shared across
-                    # channels, each channel fma then uses SCALAR
-                    # coefficients only (unlit folds to ONE fma:
-                    # alb*(lcol+amb) is a scalar), and the T update is
-                    # Tw - T2 == Tw*(1 - P2) reassociated
-                    T2 = Tw * P2h
-                    T1 = T2 if one_plane else Tw * P1h
-                    for ch in range(3):
-                        alb = gfs(i_, _G_ALB_R + ch)
-                        if one_plane:
-                            cc = alb * (lightf_r[0, ch]
-                                        + lightf_r[0, 3 + ch])
-                            upd = cc * T2
-                        else:
-                            upd = (alb * lightf_r[0, ch]) * T1 \
-                                + (alb * lightf_r[0, 3 + ch]) * T2
-                        win[b_, ch, :, col0:col0 + wwn] = (
-                            win[b_, ch, :, col0:col0 + wwn]
-                            .astype(jnp.float32) + upd).astype(cdt)
-                    win[b_, 3, :, col0:col0 + wwn] = (Tw - T2).astype(cdt)
-
-                if PAIR and i_ == 1:
-                    # deferred q fetch: q's window overlaps p's, so its
-                    # fetch had to wait for p's write-back (started just
-                    # above in the i_ == 0 iteration); the protocol's
-                    # overlap wait now sees that copy
-                    @pl.when(ov_ref[k_] == 1)
-                    def _deferred_fetch():
-                        fetch_seq(k_, b_)
-
-                if not _abl("windma"):
-                    cinA_desc(k_, b_).wait()
-                rmw(0, WWA, xplace(0, WWA))
-                if not _abl("windma"):
-                    coutA_desc(k_, b_).start()
-
-                if WWB:
-                    # rare wide particles touch columns >= WWA: fetch,
-                    # RMW and write back the B half SYNCHRONOUSLY
-                    @pl.when(wide_ref[k_] == 1)
-                    def _b_half():
-                        if _abl("windma"):   # keep the compute,
-                            rmw(WWA, WWB, xplace(WWA, WWB))  # skip DMAs
-                            return
-                        cinB_desc(k_, b_).start()
-                        placed_b = xplace(WWA, WWB)
-                        cinB_desc(k_, b_).wait()
-                        rmw(WWA, WWB, placed_b)
-                        cb = coutB_desc(k_, b_)
-                        cb.start()
-                        cb.wait()
-
-
-        def _fan_pair():
-            """Packed pair fan: both members' march planes sit side by
-            side on the LANE axis ([RM, MR]), so every 2-D op in the du
-            chain, the shift taps, and the exps runs at full lane width
-            (the per-member [RM, RM] shapes only fill half a vreg).
-            The shift clamps use LOCAL column indices, which pins every
-            nonzero shift tap inside its own lane block — cross-block
-            reads only ever multiply an exact 0.0 weight — so each
-            block is bit-identical to the unpaired fan.  Returns
-            ([(P1m, P2m)] per member, shift-clamp count)."""
-            ratio = (RP - 1.0) / max(RM - 1, 1)
-            Kc = K / ratio
-            Km = K if RM == RP else -int(-Kc // 1)
-            jv = jax.lax.broadcasted_iota(
-                jnp.int32, (RM, 1), 0).astype(jnp.float32) * ratio
-            i1 = jax.lax.broadcasted_iota(
-                jnp.int32, (1, RM), 1).astype(jnp.float32)
-            iv = i1 * ratio                      # [1, RM] pixel offsets
-            iil = jnp.concatenate([i1] * PW, axis=1)   # LOCAL col index
-            rxc, ryc, rzc = camf_r[0, 3], camf_r[0, 4], camf_r[0, 5]
-            uxc, uyc, uzc = camf_r[0, 6], camf_r[0, 7], camf_r[0, 8]
-            sxs, sys = camf_r[0, 12], camf_r[0, 13]
-            dox_step = 2.0 * sxs / W_ * ratio
-            doy_step = -2.0 * sys / H_ * ratio
-
-            def safe_div(num, den):
-                sgn = jnp.where(den >= 0, 1.0, -1.0)
-                return num / (sgn * jnp.maximum(jnp.abs(den), 1e-12))
-
-            def bcat(cols):                      # [1, RM] x PW -> [1, MR]
-                return jnp.concatenate(cols, axis=1)
-
-            def rcat(rows):                      # [RM, 1] x PW -> [RM, MR]
-                return jnp.concatenate(
-                    [jnp.broadcast_to(r, (RM, RM)) for r in rows], axis=1)
-
-            doyj_i, D_ic_i, A_i_i, vm_i = [], [], [], []
-            doxi_i, Bj_i, Dcj_i = [], [], []
-            for i_ in range(PW):
-                px_c = gfs(i_, _G_PXC)
-                py_c = gfs(i_, _G_PYC)
-                sx0 = gfs(i_, _G_SX0)
-                sy0 = gfs(i_, _G_SY0)
-                vldi = gfs(i_, _G_VALID)
-                doy_j = (py_c - (sy0 + jv + 0.5)) * (2.0 * sys / H_)
-                doyj_i.append(doy_j)
-                # f32 on the lane concat: Mosaic cannot relayout i1
-                # vectors across the packed-lane cat in every canvas
-                # layout (bitcast_vreg i1->i32 fails under coarse/ilv);
-                # compare back to bool after bcat
-                vm_i.append(jnp.broadcast_to(
-                    (vldi > 0).astype(jnp.float32), (1, RM)))
-                if persp:
-                    ox_i = ((sx0 + iv + 0.5) * (2.0 / W_) - 1.0) * sxs
-                    oy_c = (1.0 - py_c * (2.0 / H_)) * sys
-                    D_ic = fwd_z + ox_i * rzc + oy_c * uzc   # [1, RM]
-                    Nx_ic = fwd_x + ox_i * rxc + oy_c * uxc
-                    Fy_i = uxc * D_ic - Nx_ic * uzc
-                    Gx_i = rxc * D_ic - Nx_ic * rzc
-                    D_ip1 = D_ic + dox_step * rzc
-                    D_ic_i.append(D_ic)
-                    A_i_i.append(safe_div(Fy_i * D_ip1,
-                                          dox_step * Gx_i))
-                if row_fan:
-                    dox_i = ((sx0 + iv + 0.5) - px_c) * (2.0 * sxs / W_)
-                    doxi_i.append(dox_i)
-                    if persp:
-                        oy_j = (1.0 - (sy0 + jv + 0.5) * (2.0 / H_)) \
-                            * sys
-                        ox_c = (px_c * (2.0 / W_) - 1.0) * sxs
-                        D_cj = fwd_z + oy_j * uzc + ox_c * rzc  # [RM, 1]
-                        Ny_cj = fwd_y + oy_j * uyc + ox_c * ryc
-                        Fx_j = ryc * D_cj - Ny_cj * rzc
-                        Gy_j = uyc * D_cj - Ny_cj * uzc
-                        D_jp1 = D_cj + doy_step * uzc
-                        Dcj_i.append(D_cj)
-                        Bj_i.append(safe_div(Fx_j * D_jp1,
-                                             doy_step * Gy_j))
-
-            doyj_p = rcat(doyj_i)                # [RM, MR]
-            vmask = bcat(vm_i) > 0.5
-            if _abl("duchain"):   # skip the 2-D rational shift chains
-                du = doyj_p * 1e-6
-            elif persp:
-                D_ij = bcat(D_ic_i) + doyj_p * uzc
-                du = safe_div(doyj_p * bcat(A_i_i), D_ij)
-            else:
-                Ax = rxc - rzc * kx
-                Bx = uxc - uzc * kx
-                du = safe_div(doyj_p * Bx, dox_step * Ax)
-            clamped = ((du < -Kc) | (du > Kc - 1e-3)) & vmask
-            du = jnp.clip(du, -Kc, Kc - 1e-3)
-            du = jnp.maximum(du, -iil)
-            du = jnp.minimum(du, (RM - 1.0 - 1e-3) - iil)
-            n_clamp = jnp.sum(clamped.astype(jnp.int32))
-
-            def shift_packed(img, delta, axis):
-                d0 = jnp.floor(delta)
-                fr = delta - d0
-                zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, MR),
-                                 jnp.float32)
-                pad = jnp.concatenate([zpad, img, zpad], axis=axis)
-                out = jnp.zeros((RM, MR), jnp.float32)
-                m_prev = jnp.zeros((RM, MR), jnp.float32)
-                ln = MR if axis == 1 else RM
-                for dsh in range(-Km, Km + 1):
-                    m = ((d0 == dsh).astype(jnp.float32)
-                         if dsh <= Km - 1 else jnp.float32(0.0))
-                    w = m + fr * (m_prev - m)
-                    idx = [slice(None)] * 2
-                    idx[axis] = slice(Km + dsh, Km + dsh + ln)
-                    out = out + w * pad[tuple(idx)]
-                    m_prev = m
-                return out
-
-            # packed planes: diagonal blocks side by side on lanes
-            a0 = acc[0]
-            geo_p = jnp.concatenate([geo[i_] for i_ in range(PW)],
-                                    axis=1)
-            q_p = jnp.concatenate(
-                [a0[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
-                 for i_ in range(PW)], axis=1) * geo_p
-            if center:
-                a1 = acc[1]
-                se_p = bcat([jnp.broadcast_to(
-                    gfs(i_, _G_SCALE) * gfs(i_, _G_EXT), (1, RM))
-                    for i_ in range(PW)])
-                t_p = se_p * jnp.maximum(jnp.concatenate(
-                    [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
-                     for i_ in range(PW)], axis=1), 0.0)
-
-            if not _abl("fan"):
-                q_p = shift_packed(q_p, du, 1)
-            if row_fan:
-                jjc = jax.lax.broadcasted_iota(
-                    jnp.int32, (RM, 1), 0).astype(jnp.float32)
-                if _abl("duchain"):
-                    dw = bcat(doxi_i) * 1e-6 + 0.0 * doyj_p
-                elif persp:
-                    D_ij2 = jnp.concatenate(
-                        [Dcj_i[i_] + doxi_i[i_] * rzc
-                         for i_ in range(PW)], axis=1)
-                    dw = safe_div(jnp.concatenate(
-                        [doxi_i[i_] * Bj_i[i_] for i_ in range(PW)],
-                        axis=1), D_ij2)
-                else:
-                    Ay = ryc - rzc * ky
-                    By = uyc - uzc * ky
-                    dw = safe_div(
-                        bcat(doxi_i) * Ay, doy_step * By) + 0.0 * doyj_p
-                clamped_y = ((dw < -Kc) | (dw > Kc - 1e-3)) & vmask
-                dw = jnp.clip(dw, -Kc, Kc - 1e-3)
-                dw = jnp.maximum(dw, -jjc)
-                dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jjc)
-                n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
-                if not _abl("fan"):
-                    q_p = shift_packed(q_p, dw, 0)
-
-            # exps at march resolution, packed
-            if _abl("exps"):
-                P2m_p = q_p
-                P1m_p = t_p + q_p if center else q_p
-            else:
-                P2m_p = 1.0 - jnp.exp(-q_p)
-                P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
-            pres = [(P1m_p[:, i_ * RM:(i_ + 1) * RM],
-                     P2m_p[:, i_ * RM:(i_ + 1) * RM])
-                    for i_ in range(PW)]
-            return pres, n_clamp
-
-        @pl.when(s == SG - 1)
-        def _write():
-            @pl.when(n == 0)
-            def _zero():
-                clamp_out[0, 0] = 0
-            if _abl("writeoff"):   # skip the WHOLE epilogue: with
-                return             # march+init+windma+writeoff the body
-            #                        is grid machinery + predicates only
-            if PAIR:
-                pres, nc_pair = _fan_pair()
-                clamp_out[0, 0] = clamp_out[0, 0] + nc_pair
-                for i_ in range(PW):
-                    _write_one(i_, pres[i_])
-            else:
-                for i_ in range(PW):
-                    _write_one(i_)
-            if fused and not _abl("windma"):
+            @pl.when(s == SG - 1)
+            def _write():
+                @pl.when(n == 0)
+                def _zero():
+                    clamp_out[0, 0] = 0
+                if _abl("writeoff"):   # skip the WHOLE epilogue: with
+                    return             # march+init+windma+writeoff the body
+                #                        is grid machinery + predicates only
                 if PAIR:
-                    @pl.when(n == N2 - 1)
-                    def _drain_q():
-                        coutA_desc(n * PW + 1, jnp.int32(1)).wait()
-
-                    @pl.when((n == N2 - 1)
-                             & (ov_ref[n * PW + 1] == 0))
-                    def _drain_p():
-                        # (when q overlapped p, its deferred fetch
-                        # already consumed p's write-back semaphore)
-                        coutA_desc(n * PW, jnp.int32(0)).wait()
+                    pres, nc_pair = _fan_pair()
+                    clamp_out[0, 0] = clamp_out[0, 0] + nc_pair
+                    for i_ in range(PW):
+                        _write_one(i_, pres[i_])
                 else:
-                    @pl.when(n == N - 1)
-                    def _drain_own():
-                        coutA_desc(n, b).wait()
-                    if N > 1:
-                        @pl.when((n == N - 1) & (ov_ref[n] == 0))
-                        def _drain_prev():
-                            coutA_desc(n, 1 - b).wait()
-            if fused and RES:
-                # the drains above ordered every window write-back into
-                # cvs before this single HBM flush
-                @pl.when(n == N2 - 1)
-                def _flush():
-                    cp = pltpu.make_async_copy(cvs, canvas_out, sem_flush)
-                    cp.start()
-                    cp.wait()
+                    for i_ in range(PW):
+                        _write_one(i_)
+                if fused and not _abl("windma"):
+                    if PAIR:
+                        @pl.when(n == N2 - 1)
+                        def _drain_q():
+                            coutA_desc(n * PW + 1, jnp.int32(1)).wait()
+
+                        @pl.when((n == N2 - 1)
+                                 & (ov_ref[n * PW + 1] == 0))
+                        def _drain_p():
+                            # (when q overlapped p, its deferred fetch
+                            # already consumed p's write-back semaphore)
+                            coutA_desc(n * PW, jnp.int32(0)).wait()
+                    else:
+                        @pl.when(n == N - 1)
+                        def _drain_own():
+                            coutA_desc(n, b).wait()
+                        if N > 1:
+                            @pl.when((n == N - 1) & (ov_ref[n] == 0))
+                            def _drain_prev():
+                                coutA_desc(n, 1 - b).wait()
+                if fused and RES:
+                    # the drains above ordered every window write-back into
+                    # cvs before this single HBM flush
+                    @pl.when(n == N2 - 1)
+                    def _flush():
+                        cp = pltpu.make_async_copy(cvs, canvas_out, sem_flush)
+                        cp.start()
+                        cp.wait()
+
+        for _jq in range(QP):
+            _pair_iter(ng * QP + _jq if QP > 1 else ng, _jq * PW)
+
 
     def vol_spec(u, off):
         # invalid rows (dead/culled or the other size class) map to a
@@ -1701,9 +1745,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
 
     def stack_spec(i=0):
         # invalid rows map to block 0 (same DMA-dedup trick as vol_spec);
-        # paired mode streams one stack per pair member (i)
+        # paired mode streams one stack per pair member, packed mode one
+        # per (pair, member) of the entry (i in [0, QP*PW))
         def imap(n, s, v, f, vl, *pf, i=i):
-            k = n * PW + i
+            k = n * (QP * PW) + i
             return (jnp.where(vl[k] == 0, 0, v[k]), 0, 0, 0)
         if _cspec("stack"):
             return pl.BlockSpec((1, S, VX, V),
@@ -1721,14 +1766,14 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     if use_stack:
         vol_specs = ([stack_res_spec()]
                      if (stack_resident or dens_resident)
-                     else [stack_spec(i) for i in range(PW)])
+                     else [stack_spec(i) for i in range(QP * PW)])
     elif full_vol:
         vol_specs = [vol_full_spec()]
     else:
         vol_specs = [vol_spec(u, off) for u in range(U) for off in (0, 1)]
     _pn = (lambda n, s, *pf: (0, 0, 0)) if _cspec("pern") \
         else (lambda n, s, *pf: (n, 0, 0))
-    per_n_smem = pl.BlockSpec((PW, 1, _GF), _pn,
+    per_n_smem = pl.BlockSpec((QP * PW, 1, _GF), _pn,
                               memory_space=pltpu.SMEM)
     const_smem = pl.BlockSpec((1, 16), lambda n, s, *pf: (0, 0),
                               memory_space=pltpu.SMEM)
@@ -1745,7 +1790,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
             # [1, 1, V, V] mid-slab block instead of the full stack
             def stack_mid_spec(i=0):
                 def imap(n, s, v, f, vl, *pf, i=i):
-                    k = n * PW + i
+                    k = n * (QP * PW) + i
                     return (jnp.where(vl[k] == 0, 0, v[k]), MID, 0, 0)
                 if _cspec("mid"):
                     return pl.BlockSpec((1, 1, VX, V),
@@ -1753,16 +1798,16 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                                         memory_space=pltpu.VMEM)
                 return pl.BlockSpec((1, 1, VX, V), imap,
                                     memory_space=pltpu.VMEM)
-            in_specs += [stack_mid_spec(i) for i in range(PW)]
-            inputs += [slab_banks[1]] * PW
+            in_specs += [stack_mid_spec(i) for i in range(QP * PW)]
+            inputs += [slab_banks[1]] * (QP * PW)
         else:
             in_specs += vol_specs
             inputs += [stack_input(slab_banks[1]) if use_stack
                        else light_volumes] * len(vol_specs)
     in_specs += [
         per_n_smem,
-        pl.BlockSpec((PW, 1, RM), _pn, memory_space=pltpu.VMEM),
-        pl.BlockSpec((PW, RM, 1), _pn, memory_space=pltpu.VMEM),
+        pl.BlockSpec((QP * PW, 1, RM), _pn, memory_space=pltpu.VMEM),
+        pl.BlockSpec((QP * PW, RM, 1), _pn, memory_space=pltpu.VMEM),
         const_smem,
         const_smem,
     ]
@@ -1799,7 +1844,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
         assert canvas.shape == cshape, (canvas.shape, cshape)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
-            grid=(N2, SG),
+            grid=(N2 // QP, SG),
             in_specs=in_specs + ([] if RES else
                                  [pl.BlockSpec(memory_space=pl.ANY)]),
             out_specs=[

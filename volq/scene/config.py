@@ -143,6 +143,21 @@ class RenderConfig:
                                # light_mode="center"), RM <= 64 and an
                                # even particle count; silently falls
                                # back to unpaired otherwise.  0/1.
+    warp_pack: int = 1         # warp engine + pallas FUSED path: pack
+                               # this many (pairs of) particles into ONE
+                               # Pallas grid entry.  The per-grid-entry
+                               # machinery (grid sequencing + per-n
+                               # block transitions) measured ~2 us/pair
+                               # — the whole c4-class floor
+                               # (bench/ladders/r5_floor_sweep.json) —
+                               # and packing pays it once per QP pairs.
+                               # Bit-identical canvas: the packed pairs
+                               # run sequentially in exactly the order
+                               # consecutive grid entries used to, same
+                               # window-DMA protocol.  Fused slab-bank
+                               # single-grid-row marches only; silently
+                               # halves until it divides the pair count
+                               # (1 = unpacked).  Power of two, 1..8.
     warp_coarse: int = 0       # warp engine + pallas FUSED path:
                                # composite the canvas at MARCH resolution
                                # (cells of (RP-1)/(RM-1) px) instead of
@@ -309,6 +324,8 @@ class SceneConfig:
         if r.warp_canvas_vmem and not (r.warp_pallas and r.warp_fused):
             raise ValueError("warp_canvas_vmem requires the fused Pallas "
                              "path (warp_pallas + warp_fused)")
+        if r.warp_pack not in (1, 2, 4, 8):
+            raise ValueError("warp_pack must be a power of two in 1..8")
         if r.warp_bands < 1:
             raise ValueError("warp_bands must be >= 1")
         if r.warp_bands > 1 and r.engine != "warp":
