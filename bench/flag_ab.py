@@ -31,9 +31,18 @@ def main():
     rays = cfg0.render.width * cfg0.render.height
     out = {"preset": preset, "variants": {}}
     for name in variants:
-        cfg = variant_cfg(cfg0, name)
+        # ``fbN`` tokens set the frames-per-dispatch of the timing
+        # harness itself (dispatch-amortization ladder), not a cfg flag.
+        fb = 12
+        cfg_parts = []
+        for part in name.split("+"):
+            if part.startswith("fb") and part[2:].isdigit():
+                fb = int(part[2:])
+            else:
+                cfg_parts.append(part)
+        cfg = variant_cfg(cfg0, "+".join(cfg_parts) or "base")
         band = []
-        dt, stats = time_frames(cfg, 24, fb=12, windows=3,
+        dt, stats = time_frames(cfg, max(24, 2 * fb), fb=fb, windows=3,
                                 window_times=band)
         mrays = rays / dt / 1e6
         out["variants"][name] = {

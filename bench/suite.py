@@ -98,7 +98,7 @@ def engine_flags(cfg):
     return f
 
 
-def bench_c5_shard_slice(n_frames: int = 10):
+def bench_c5_shard_slice(n_frames: int = 24, fb: int = 12):
     """The per-chip slice of BASELINE config 5 on ONE chip: the exact
     per-shard body of the 8-way binary-swap frame — sharded 4D re-bake
     (bank/8 entries), sim, and march+composite of the shard's 1/8 depth
@@ -106,7 +106,16 @@ def bench_c5_shard_slice(n_frames: int = 10):
     mesh; it moves exactly ONE cropped canvas per chip over ICI —
     measured + projected in bench/c5_combine_model.py.)  The resulting
     Mrays/s is the per-chip SLICE number; the mesh frame adds the
-    projected combine cost on top (BASELINE.md c5 row)."""
+    projected combine cost on top (BASELINE.md c5 row).
+
+    ``fb`` frames are batched per device dispatch with lax.scan —
+    the SAME dispatch cadence as the production mesh loop
+    (dist/sharded.sharded_frame_fn n_frames_per_call) and the shared
+    time_frames harness, so the slice row is measured like every other
+    row.  Rounds 3–4 dispatched one frame per relay round-trip here,
+    which billed ~1–2 ms/frame of relay overhead to the slice (the
+    488-vs-515 r4/r3 discrepancy; env override VOLQ_C5_FB re-measures
+    the cadence)."""
     import jax
     import jax.numpy as jnp
     from volq.scene.config import PRESETS
@@ -124,7 +133,8 @@ def bench_c5_shard_slice(n_frames: int = 10):
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    fb = int(os.environ.get("VOLQ_C5_FB", fb))
+
     def shard_frame(state):
         state = sim_step(state, cfg)
         ids_local = jnp.arange(v.bank_size // n_shards, dtype=jnp.int32)
@@ -153,18 +163,32 @@ def bench_c5_shard_slice(n_frames: int = 10):
                              cfg.render.height)
         return state, img, stats
 
-    state, image, stats = shard_frame(state)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def shard_frames(state):
+        def body(carry, _):
+            st, _img = carry
+            st, img, stats = shard_frame(st)
+            return (st, img), stats
+        img0 = jnp.zeros((cfg.render.height, cfg.render.width, 4),
+                         jnp.float32)
+        (state, image), stats = jax.lax.scan(body, (state, img0),
+                                             None, length=fb)
+        return state, image, stats
+
+    for _ in range(2):          # compile + settle
+        state, image, stats = shard_frames(state)
     _sync(image)
     # 3 windows -> a same-session band, so the row can say whether a
     # slice-rate delta is preset cost or relay drift (the r4 488 vs r3
     # 515-518 question could not be answered from a single window)
+    reps = max(-(-n_frames // fb), 1)
     band = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(n_frames):
-            state, image, stats = shard_frame(state)
+        for _ in range(reps):
+            state, image, stats = shard_frames(state)
         _sync(image)
-        band.append((time.perf_counter() - t0) / n_frames)
+        band.append((time.perf_counter() - t0) / (reps * fb))
     dt = sorted(band)[1]
     rays = cfg.render.width * cfg.render.height
     return {
@@ -174,7 +198,8 @@ def bench_c5_shard_slice(n_frames: int = 10):
         "mrays_per_chip_s": round(rays / dt / 1e6, 1),
         "window_mrays": sorted(round(rays / w / 1e6, 1) for w in band),
         "engine_flags": engine_flags(cfg),
-        "stats": {k: int(v_) for k, v_ in
+        "stats": {k: int(v_[-1] if getattr(v_, "ndim", 0) else v_)
+                  for k, v_ in
                   __import__("jax").device_get(stats).items()},
     }
 
