@@ -9,10 +9,13 @@ where the baseline is the driver target of 500 Mrays/s per v5e chip
 The measured quantity is the full frame step (sim + march + composite)
 in steady state with the image kept on device — pixels/sec/1e6.  The
 harness is engine/loop.time_frames (shared with bench/suite.py and the
-CLI --bench, so all three report the same number): 12 frames per device
-dispatch (measured knee of the dispatch-amortization curve, DESIGN.md
-§5e), fetch-synced fences, median of 3 measurement windows; the raw
-window band is reported in ``window_mrays``.
+CLI --bench, so all three report the same number): 48 frames per device
+dispatch — the knee of the dispatch-amortization curve re-measured in
+round 5 (bench/ladders/r5_fb_ladder_c3.json: 3.96 ms/frame at fb=12,
+3.06 at fb=24, 2.98 at fb=48, flat to fb=96; the relay round-trip is
+~10-20 ms per dispatch, an order more than rounds 2-4 assumed) —
+fetch-synced fences, median of 3 measurement windows; the raw window
+band is reported in ``window_mrays``.
 
 OUTAGE RESILIENCE (round-3 lesson: BENCH_r03.json died rc:1 because the
 axon relay was down at capture time — and backend init HANGS rather
@@ -50,7 +53,7 @@ def _measure():
 
     cfg = c3()
     band = []
-    dt, _stats = time_frames(cfg, 24, fb=12, windows=3, window_times=band)
+    dt, _stats = time_frames(cfg, 96, fb=48, windows=3, window_times=band)
 
     rays = cfg.render.width * cfg.render.height
     mrays = rays / dt / 1e6

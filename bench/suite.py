@@ -12,7 +12,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(name: str, n_frames: int = 24):
+def bench_config(name: str, n_frames: int = 96, fb: int = 48):
     import jax
     from volq.scene.config import PRESETS
     from volq.engine.loop import setup, time_frames, _sync
@@ -31,11 +31,11 @@ def bench_config(name: str, n_frames: int = 24):
     # bench.py and the CLI --bench
     band = []
     t0 = time.perf_counter()
-    frame_s, stats = time_frames(cfg, n_frames, fb=6, windows=3,
+    frame_s, stats = time_frames(cfg, n_frames, fb=fb, windows=3,
                                  window_times=band)
     # rough compile estimate: wall time minus the frames actually run
-    # (3 warmup + 3 windows of ceil(n/6) dispatches, 6 frames each)
-    n_run = (3 + 3 * -(-n_frames // 6)) * 6
+    # (warmup + 3 windows of ceil(n/fb) dispatches, fb frames each)
+    n_run = (3 + 3 * -(-n_frames // fb)) * fb
     compile_s = max(time.perf_counter() - t0 - n_run * frame_s, 0.0)
 
     # sim-only rate

@@ -117,7 +117,7 @@ def main(argv=None):
         # and bench/suite.py): frames batched per dispatch, fetch-synced,
         # median-of-3 windows; honors --mesh and --frames-per-launch
         fb = max(args.frames_per_launch, 1) if args.frames_per_launch > 1 \
-            else 6
+            else 48
         dt, stats = loop.time_frames(cfg, max(args.frames, 12), fb=fb,
                                      mesh=args.mesh)
         rays = cfg.render.width * cfg.render.height

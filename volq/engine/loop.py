@@ -189,7 +189,7 @@ def _sync(x):
 
 
 def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
-                fb: int = 6, mesh: int = 0, windows: int = 3,
+                fb: int = 48, mesh: int = 0, windows: int = 3,
                 window_times: list | None = None):
     """THE benchmark harness (used by bench.py, bench/suite.py and the
     CLI --bench, so all three report the same number): steady-state
@@ -198,8 +198,14 @@ def time_frames(cfg: SceneConfig, n_frames: int, *, warmup: int = 2,
     relayed backends, see _sync).
 
     ``fb`` frames are batched per device dispatch (the ``frames`` scan,
-    bit-identical to ``frame``; the per-dispatch relay round-trip is
-    ~1 ms here — at c3 frame times that is ~17% if unbatched).  ``mesh``
+    bit-identical to ``frame``).  The default is the measured knee of
+    the dispatch-amortization curve: the round-5 fb ladder on c3
+    (bench/ladders/r5_fb_ladder_c3.json) measured 3.96 ms/frame at
+    fb=12, 3.06 at fb=24, 2.98 at fb=48, 2.97 at fb=96 — the relay
+    round-trip costs ~10-20 ms per dispatch in this environment, so
+    the knee sits far above the ~1 ms/dispatch assumption rounds 2-4
+    measured under (their fb=6/12 rows billed 1-2 ms/frame of relay
+    overhead to the kernel).  ``mesh``
     shards the loop over that many devices (dist/sharded; fb then
     applies per-dispatch too).  The median of ``windows`` measurement
     windows is returned: single windows swing ±7% with TPU/relay
