@@ -204,7 +204,7 @@ def main():
                 pm = importlib.util.module_from_spec(sp)
                 sp.loader.exec_module(pm)
                 mcfg = pm.variant_cfg(mcfg, variant)
-            dt, _ = time_frames(mcfg, 24, fb=6, windows=3)
+            dt, _ = time_frames(mcfg, 96, fb=48, windows=3)
             rec["measured_ms"] = round(dt * 1e3, 2)
             rec["x_of_floor"] = round(dt * 1e3
                                       / max(rec["floor_ms"]["max"], 1e-9),
