@@ -977,6 +977,7 @@ def test_hazard_swap_render_bit_exact(tiny_cfg):
     assert int(st_b["win_hazard"]) <= int(st_a["win_hazard"])
 
 
+@pytest.mark.slow
 def test_warp_canvas_vmem_matches_windowed(tiny_cfg, tiny_lit_cfg):
     """warp_canvas_vmem keeps the whole canvas VMEM-resident (the window
     fetch/write-back become on-chip copies; the canvas initializes
@@ -1005,6 +1006,7 @@ def test_warp_canvas_vmem_matches_windowed(tiny_cfg, tiny_lit_cfg):
             f"{cfg.render.warp_coarse=}, {cfg.render.warp_pair=})"
 
 
+@pytest.mark.slow
 def test_warp_bands_match_unbanded(tiny_cfg, tiny_lit_cfg):
     """warp_bands renders horizontal pixel bands as separate fused
     dispatches: disjoint pixels -> EXACTLY the unbanded frame (per-band
@@ -1034,6 +1036,7 @@ def test_warp_bands_match_unbanded(tiny_cfg, tiny_lit_cfg):
         assert np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_warp_canvas_vmem_streamed_pair(tiny_lit_cfg, monkeypatch):
     """When the resident canvas evicts the slab bank from VMEM
     (residency budgets charge canvas_nbytes), pairing switches to
@@ -1090,6 +1093,7 @@ def test_bands_config_validation():
             r, engine="warp", warp_canvas_vmem=1, warp_pallas=False))
 
 
+@pytest.mark.slow
 def test_warp_canvas_scale_matches_oracle(tiny_cfg, tiny_lit_cfg):
     """warp_canvas_scale composites at an ARBITRARY cell resolution
     between the march grid and pixels (generalizing warp_coarse, whose
@@ -1118,6 +1122,7 @@ def test_warp_canvas_scale_matches_oracle(tiny_cfg, tiny_lit_cfg):
         assert d < tol, f"canvas_scale: max diff {d}"
 
 
+@pytest.mark.slow
 def test_warp_canvas_scale_quality_between_coarse_and_full(tiny_cfg):
     """The sigma canvas must sit between coarse and full-res composite
     quality: PSNR(sigma=0.8) > PSNR(coarse) vs the full-res render."""
