@@ -226,7 +226,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # gradients without per-step light work) — the march then telescopes
     # exactly like unlit, plus one tau plane captured at MID.
     center = lit and r.light_mode == "center"
-    # accumulator planes: per-step lit = (P1, P2, T); center = (od,
+    # accumulator planes: per-step lit = (P1, T) — P2 telescopes to
+    # 1 - T_final, computed once in the epilogue; center = (od,
     # tau_mid); unlit = (od,) — the OVER recurrence TELESCOPES when
     # atten == 1 and the in-bounds mask is binary (1 - alpha_s =
     # exp(-msk_s * sig_s * geo) exactly), so the march accumulates ONE
@@ -234,7 +235,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # P2 = 1 - exp(-od * geo) once.  This deletes the per-step exp/T/fa
     # VPU work AND lets the per-step dot2s merge into one
     # [RM, U*V] x [U*V, RM] MXU contraction per grid step.
-    NP = 3 if (lit and not center) else (2 if center else 1)
+    NP = 2 if lit else 1
     MID = S // 2
     row_fan = needs_row_fan(cfg)
     K = r.warp_shift_max
@@ -893,27 +894,26 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 # the t>0 test is a scalar folded into the row mask; vld > 0
                 # is already guaranteed by the enclosing pl.when
                 tpos = (zw - eye_z) * szn > 0
-                if lit and not center:
-                    inx_f = ((gx >= 0) & (gx <= gscx)).astype(jnp.float32)
-                    iny_f = ((gy >= 0) & (gy <= gsc)).astype(jnp.float32) \
-                        * tpos.astype(jnp.float32)
-                    msk = iny_f * inx_f                              # [RP, RP]
-                    gyc = jnp.clip(gy, 0.0, gsc)                     # [RP, 1]
-                    gxc = jnp.clip(gx, 0.0, gscx)                    # [1, RP]
-                else:
-                    # telescoped mode: the binary in-bounds mask folds into
-                    # the hat weights EXACTLY — msk * (Wy @ slab @ Wx) ==
-                    # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks —
-                    # and the fold happens in the 1-D POSITIONS: a masked
-                    # row/col gets hat position -2, whose hat weight is
-                    # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
-                    # two [RM, V] mask multiplies per step
-                    # (no clip inside the select: the mask already implies
-                    # gy in [0, gsc], so clip is the identity — bit-exact)
-                    gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
-                                    gy, -2.0)
-                    gxc = jnp.where((gx >= 0) & (gx <= gscx),
-                                    gx, -2.0)
+                # EVERY mode folds the binary in-bounds mask into the hat
+                # weights EXACTLY — msk * (Wy @ slab @ Wx) ==
+                # (iny*Wy) @ slab @ (Wx*inx) for {0,1} row/col masks —
+                # and the fold happens in the 1-D POSITIONS: a masked
+                # row/col gets hat position -2, whose hat weight is
+                # exactly 0.0 for every voxel (|−2−v| >= 2), deleting
+                # two [RM, V] mask multiplies per step
+                # (no clip inside the select: the mask already implies
+                # gy in [0, gsc], so clip is the identity — bit-exact).
+                # Per-step lit included (round 5): a masked row/col gets
+                # sig == +0 exactly, so alpha = 1 - exp(-0·dt) = +0 — the
+                # same exact zero the explicit msk multiply produced (its
+                # tau differs out-of-bounds, but fa == 0 multiplies atten
+                # out of the accumulators bit-exactly), deleting the
+                # msk/iny/inx builds, two clips, and the [RP, RP] mask
+                # multiply from the march-lit step.
+                gyc = jnp.where(((gy >= 0) & (gy <= gsc)) & tpos,
+                                gy, -2.0)
+                gxc = jnp.where((gx >= 0) & (gx <= gscx),
+                                gx, -2.0)
                 Wy = jnp.maximum(0.0, 1.0 - jnp.abs(gyc - iot_b)) \
                     .astype(wdt)                                     # [RP, V(b)]
                 WxT = jnp.maximum(0.0, 1.0 - jnp.abs(iot_a - gxc)) \
@@ -981,13 +981,17 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                              lerped(lvols_in[2 * u], lvols_in[2 * u + 1])],
                             axis=0)
                     sig, tau = contract(slab_cat, 2)
-                    alpha = msk * (1.0 - jnp.exp(-sig * geo[0]))
+                    # P2 telescopes (sum_s T_s*alpha_s = 1 - T_final, the
+                    # oracle's own factored form, warp_cpu.py): only P1 and
+                    # T accumulate per step — one fewer [RP, RP] add per
+                    # step and one fewer [MR, MR] f32 VMEM plane; the
+                    # epilogue reconstitutes P2 = 1 - T before the fan
+                    alpha = 1.0 - jnp.exp(-sig * geo[0])
                     atten = jnp.exp(-(scale * ext) * jnp.maximum(tau, 0.0))
-                    T = acc[2]
+                    T = acc[1]
                     fa = T * alpha
                     acc[0] = acc[0] + fa * atten
-                    acc[1] = acc[1] + fa
-                    acc[2] = T - fa
+                    acc[1] = T - fa
                 else:
                     # telescoped: only dot1 per step; the (t1, WxT) factors
                     # are collected and contracted ONCE per grid step below
@@ -1088,7 +1092,10 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         a0 = acc[0]
                         a1 = acc[1] if NP > 1 else None
                     if lit and not center:
-                        img4 = [acc[p] for p in range(NP - 1)]
+                        # reconstitute P2 = 1 - T once per particle (the
+                        # per-step accumulators are (P1, T); the fan then
+                        # shifts (P1, P2) exactly as before)
+                        img4 = [a0, 1.0 - a1]
                     elif center:
                         # (q, tau') both LINEAR through the fan + upsample;
                         # atten = exp(-tau') once at the end

@@ -590,7 +590,7 @@ def _march_images(particles: Particles, volumes, camera: Camera,
             # (fewer planes to shift, no [c,3,RP,RP] channel tensors in
             # the loop).
             if lit and not center:
-                P1f, P2f, P1b, P2b, T = carry
+                P1f, P1b, P2b, T = carry
             elif center:
                 od, tau_c = carry
             else:
@@ -660,10 +660,11 @@ def _march_images(particles: Particles, volumes, camera: Camera,
                 atten = jnp.exp(-sc3 * ext[:, None, None]
                                 * jnp.maximum(tau, 0.0))     # [c,RP,RP]
                 P1f_ = P1f + fa * atten
-                P2f_ = P2f + fa
                 P1b_ = alpha * atten + (1.0 - alpha) * P1b
                 P2b_ = alpha + (1.0 - alpha) * P2b
-                return P1f_, P2f_, P1b_, P2b_, T - fa
+                # P2f telescopes: sum_s T_s*alpha_s = 1 - T_final
+                # (mirrors the kernel's (P1, T) accumulators, round 5)
+                return P1f_, P1b_, P2b_, T - fa
             # unlit: the OVER recurrence TELESCOPES (atten == 1, binary
             # mask): prod_s (1 - msk*alpha_s) = exp(-sc*dt * sum msk*sig)
             # exactly, so the march accumulates ONE optical-depth plane
@@ -679,10 +680,10 @@ def _march_images(particles: Particles, volumes, camera: Camera,
         # fan + upsample chain in _warp_images stays linear and applies
         # ONE exp at the very end (mirrors the kernel epilogue).
         if lit and not center:
-            P1f, P2f, P1b, P2b, T = jax.lax.fori_loop(
-                0, S, step, (Z0, Z0, Z0, Z0, T0))
+            P1f, P1b, P2b, T = jax.lax.fori_loop(
+                0, S, step, (Z0, Z0, Z0, T0))
             planes = jnp.stack([jnp.where(fwd3, P1f, P1b),
-                                jnp.where(fwd3, P2f, P2b)], axis=1)
+                                jnp.where(fwd3, 1.0 - T, P2b)], axis=1)
         elif center:
             od, tau_c = jax.lax.fori_loop(0, S, step, (Z0, Z0))
             planes = jnp.stack(
