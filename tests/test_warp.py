@@ -615,6 +615,58 @@ def test_warp_pair_matches_unpaired(tiny_cfg, tiny_lit_cfg):
         assert d < tol, f"paired vs unpaired: max diff {d}"
 
 
+@pytest.mark.slow
+def test_warp_pair_perstep_matches_unpaired_and_oracle(tiny_lit_cfg):
+    """Round 5: the paired kernel covers the PER-STEP lit march too
+    (kernel.py's LITP branch): one [MR, 2V] x [2V, 2V] dot1 over both
+    members' density + light slabs, per-step sig/tau dot2s, and the
+    P1/T OVER recurrence on full-lane [MR, MR] planes, with per-member
+    flip flags (the recurrence is order-sensitive).  The packing adds
+    exact zeros only, so the paired canvas matches unpaired per-step
+    to working-dtype ulps (CPU dot regrouping — see
+    test_warp_pair_matches_unpaired) and the scalar-oracle budget is
+    unchanged.  Pairing must ENGAGE (the round-4 envelope excluded
+    per-step lit: pair_inactive must now read 0, without a warning)."""
+    cfg = _warpify(tiny_lit_cfg, warp_pallas=True)
+    assert cfg.render.light_mode == "march"
+    cases = [
+        (cfg, 2e-5),
+        # bf16 working dtype + the camera on the +z side looking back:
+        # every particle has szn < 0, so the whole scene marches FLIPPED
+        # (descending steps) — catches a paired kernel that ignores the
+        # per-member flip flags (the recurrence is order-sensitive)
+        (dataclasses.replace(
+            _warpify(tiny_lit_cfg, warp_pallas=True, warp_fp32=False,
+                     warp_canvas_fp32=False),
+            camera=CameraConfig(eye=(0.2, 0.6, 5.0),
+                                look_at=(0.0, 0.0, 0.0))), 4e-3),
+    ]
+    for cfg_i, tol in cases:
+        state, camera, light = setup(cfg_i)
+        a, _ = render_only(state, camera, light, cfg_i)
+        cfg_pair = dataclasses.replace(cfg_i, render=dataclasses.replace(
+            cfg_i.render, warp_pair=1))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            b, pstats = render_only(state, camera, light, cfg_pair)
+        assert int(pstats["pair_inactive"]) == 0
+        assert not any("warp_pair" in str(x.message) for x in w)
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b, np.float64)
+        assert a64[..., 3].max() > 0.05
+        d = np.abs(a64 - b64).max()
+        assert d < tol, f"paired vs unpaired per-step lit: max diff {d}"
+    # the scalar oracle budget is unchanged by the packing (fp32 case)
+    state, camera, light = setup(cfg)
+    cfg_pair = dataclasses.replace(cfg, render=dataclasses.replace(
+        cfg.render, warp_pair=1))
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    dd, img, _ = _diff(cfg_pair, state, camera, light,
+                       light_volumes=np.asarray(lvol))
+    assert dd < TOL, f"paired per-step lit vs oracle: max diff {dd}"
+
+
 def test_pair_swap_order_invariants():
     """_pair_swap_order must only ever swap DISJOINT-window neighbors
     (the exactness condition) and must not increase the pair-internal

@@ -141,15 +141,18 @@ def pair_enabled(cfg: SceneConfig, n: int, use_stack: bool, lit: bool,
     Shared with warp._pair_swap_order so the host-side pair-aware
     composite reorder engages for exactly the same configs.
     ``resident``: VMEM-resident slab bank(s) (stack_bank_resident) —
-    pairing normally requires resident banks, EXCEPT under
+    center/unlit pairing normally requires resident banks, EXCEPT under
     warp_canvas_vmem, whose canvas may evict the bank: the kernel then
     streams one stack block per pair member (stack_spec(i)), which the
-    resident-canvas savings pay for."""
+    resident-canvas savings pay for.  Per-step lit marches (round 5)
+    pair with streamed OR resident banks: their per-pair MXU-issue and
+    VPU-lane savings dwarf the streaming cost (the mode was the repo's
+    slowest row, DESIGN 5h#2)."""
     r = cfg.render
     from volq.render.warp import march_rect
     return (bool(r.warp_pair) and use_stack
-            and (resident or bool(r.warp_canvas_vmem))
-            and (center or not lit)
+            and (resident or bool(r.warp_canvas_vmem)
+                 or (lit and not center))
             and n % 2 == 0 and march_rect(cfg) <= 96)
 
 
@@ -338,8 +341,11 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
     # merged dot2 becomes [2RM, U*VX] x [U*VX, 2RM] with the two WxT
     # halves lane-concatenated.  Full-width MXU tiles (the RM = V = 64
     # configs ran far under peak on half-empty 128-tiles) AND half the
-    # fixed per-grid-step cost.  Bit-identical to unpaired; telescoped
-    # (unlit/center) slab-bank fused configs with even N only.
+    # fixed per-grid-step cost.  Bit-identical to unpaired; slab-bank
+    # fused configs with even N only.  Per-step lit marches (round 5)
+    # pair too: one [MR, 2V] x [2V, 2V] dot1 over both members'
+    # density + light slabs and full-lane [MR, MR] recurrence planes
+    # (the LITP branch in _march_pair).
     PAIR = fused and pair_enabled(cfg, N, use_stack, lit, center,
                                   resident=(stack_resident
                                             or dens_resident))
@@ -632,8 +638,9 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 kx = fwd_x / fz_s
                 ky = fwd_y / fz_s
 
-            # paired telescoped marches are always ascending (flip would
-            # only matter for the per-step lit path, which pairing excludes)
+            # paired telescoped marches are always ascending; the paired
+            # per-step lit march reads its per-MEMBER flip flags inside
+            # _march_pair (the OVER recurrence is order-sensitive)
             flipped = jnp.int32(0) if PAIR else flip_ref[n]
             if use_stack and (stack_resident or dens_resident):
                 vids = [vidx_ref[n * PW + i_] for i_ in range(PW)]
@@ -739,6 +746,24 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 iot_a2 = jax.lax.broadcasted_iota(
                     jnp.int32, (VX, MR), 0).astype(jnp.float32)
                 pv = [pread(i_) for i_ in range(PW)]
+                LITP = lit and not center   # per-step lit, paired (round 5)
+                if LITP:
+                    # per-member march DIRECTION: the OVER recurrence is
+                    # order-sensitive, so each member honors its own
+                    # prefetched flip flag (telescoped modes are order-free
+                    # and always march ascending)
+                    flips = [flip_ref[n * PW + i_] for i_ in range(PW)]
+                    # block-assembled per-ray scale*dt plane and per-member
+                    # scale*ext rows: the diagonal [RM, RM] blocks carry
+                    # exactly the unpaired values (off-diagonal blocks are
+                    # the packing's discarded cross terms, finite by
+                    # construction — hats <= 1, slabs bounded)
+                    geo2 = jnp.concatenate(
+                        [jnp.concatenate([geo[i_]] * PW, axis=1)
+                         for i_ in range(PW)], axis=0)           # [MR, MR]
+                    se2 = jnp.concatenate(
+                        [jnp.broadcast_to(pv[i_][4] * pv[i_][3], (RM, 1))
+                         for i_ in range(PW)], axis=0)           # [MR, 1]
                 hoist = []
                 for (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
                      rx_row, ry_col) in pv:
@@ -751,13 +776,18 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         hoist.append((kx2, ky2, kx2 * rx_row, ky2 * ry_col))
                 y_parts, x_parts = [], []
                 for u in range(U):
-                    sei = jnp.int32(s * U + u)      # ascending (flip == 0)
-                    zeta = (sei.astype(jnp.float32) + 0.5) / S
+                    su = jnp.int32(s * U + u)
+                    # telescoped modes march ascending for every member
+                    # (order-free sums); per-step lit flips per member
+                    sei_m = ([s_eff(su, flips[i_]) for i_ in range(PW)]
+                             if LITP else [su] * PW)
+                    sei = sei_m[0]
                     gy_sel, gx_sel = [], []
                     for i_ in range(PW):
                         (lo_x, lo_y, lo_z, ext, scale, szn, vldi,
                          rx_row, ry_col) = pv[i_]
                         kx2, ky2, hx, hy = hoist[i_]
+                        zeta = (sei_m[i_].astype(jnp.float32) + 0.5) / S
                         zw = lo_z + zeta * ext
                         if persp:
                             c1 = zw - eye_z
@@ -787,13 +817,61 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         Wy = (vox2 * 0.001).astype(wdt)
                         WxT = (iot_a2 * 0.001).astype(wdt)
 
-                    def pslab(i_, sei=sei):
+                    def pslab(i_, si):
                         if stack_resident or dens_resident:
-                            return vol_stack[pl.ds(vids[i_] * S + sei,
+                            return vol_stack[pl.ds(vids[i_] * S + si,
                                                    1)][0]
-                        return vol_stacks[jo + i_][0, pl.ds(sei, 1)][0]
+                        return vol_stacks[jo + i_][0, pl.ds(si, 1)][0]
 
-                    slab_cat = jnp.concatenate([pslab(0), pslab(1)],
+                    if LITP:
+                        # per-step lit, paired: ONE [MR, 2V] x [2V, 2V]
+                        # dot1 over both members' density AND light slabs
+                        # (a-axis rows 0..V-1 density, V..2V-1 light; the
+                        # lane blkmask zeroes cross-member terms with exact
+                        # +0s, so each diagonal block accumulates the
+                        # unpaired values bit-for-bit), then per-step sig /
+                        # tau dot2s and the P1/T OVER recurrence on the
+                        # full-lane [MR, MR] planes — 3 MXU issues per pair
+                        # step where unpaired paid 6, and every VPU op in
+                        # the recurrence runs at full vreg width.
+                        def plslab(i_, si):
+                            if stack_resident:
+                                return lvol_stack[pl.ds(vids[i_] * S + si,
+                                                        1)][0]
+                            return lvol_stacks[jo + i_][0, pl.ds(si, 1)][0]
+
+                        slab2 = jnp.concatenate(
+                            [jnp.concatenate([pslab(0, sei_m[0]),
+                                              pslab(1, sei_m[1])], axis=1),
+                             jnp.concatenate([plslab(0, sei_m[0]),
+                                              plslab(1, sei_m[1])],
+                                             axis=1)], axis=0)   # [2V, 2V]
+                        t1_ = jax.lax.dot_general(
+                            Wy, slab2, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                      # [MR, 2V]
+                        t1w = t1_.astype(wdt)
+                        sig = jax.lax.dot_general(
+                            t1w[:, :V], WxT, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                      # [MR, MR]
+                        tau = jax.lax.dot_general(
+                            t1w[:, V:], WxT, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+                        # same expressions (and rounding points) as the
+                        # unpaired per-step recurrence; P2 telescopes to
+                        # 1 - T in the epilogue exactly as unpaired
+                        alpha = 1.0 - jnp.exp(-sig * geo2)
+                        atten = jnp.exp(-se2 * jnp.maximum(tau, 0.0))
+                        T = acc[1]
+                        fa = T * alpha
+                        acc[0] = acc[0] + fa * atten
+                        acc[1] = T - fa
+                        continue
+
+                    slab_cat = jnp.concatenate([pslab(0, sei),
+                                                pslab(1, sei)],
                                                axis=1)           # [VX, 2V]
                     if _abl("dot1") and VX == V:
                         t1_ = Wy[:, :VX] * (1.0 + slab_cat[:1, :VX])
@@ -825,6 +903,8 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
 
+                if LITP:
+                    return   # per-step recurrence already accumulated
                 if _abl("dot2"):
                     od = sum(p[:, :1] * 0.001 for p in y_parts) \
                         + x_parts[0][:1, :] * 0.0
@@ -1087,7 +1167,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         # blocks are the packing's discarded cross terms)
                         sl = slice(i_ * RM, (i_ + 1) * RM)
                         a0 = acc[0][sl, sl]
-                        a1 = acc[1][sl, sl] if center else None
+                        a1 = acc[1][sl, sl] if NP > 1 else None
                     else:
                         a0 = acc[0]
                         a1 = acc[1] if NP > 1 else None
@@ -1611,13 +1691,18 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                 du = jnp.minimum(du, (RM - 1.0 - 1e-3) - iil)
                 n_clamp = jnp.sum(clamped.astype(jnp.int32))
 
-                def shift_packed(img, delta, axis):
+                def shift_packed(imgs, delta, axis):
+                    # combined-weight static-shift loop over a LIST of
+                    # planes: the per-tap weight is shared (exactly as the
+                    # unpaired shift_interp) so extra planes cost one fma
+                    # each per tap
                     d0 = jnp.floor(delta)
                     fr = delta - d0
                     zpad = jnp.zeros((RM, Km) if axis == 1 else (Km, MR),
                                      jnp.float32)
-                    pad = jnp.concatenate([zpad, img, zpad], axis=axis)
-                    out = jnp.zeros((RM, MR), jnp.float32)
+                    pads = [jnp.concatenate([zpad, img, zpad], axis=axis)
+                            for img in imgs]
+                    outs = [jnp.zeros((RM, MR), jnp.float32) for _ in imgs]
                     m_prev = jnp.zeros((RM, MR), jnp.float32)
                     ln = MR if axis == 1 else RM
                     for dsh in range(-Km, Km + 1):
@@ -1626,28 +1711,33 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                         w = m + fr * (m_prev - m)
                         idx = [slice(None)] * 2
                         idx[axis] = slice(Km + dsh, Km + dsh + ln)
-                        out = out + w * pad[tuple(idx)]
+                        for p in range(len(imgs)):
+                            outs[p] = outs[p] + w * pads[p][tuple(idx)]
                         m_prev = m
-                    return out
+                    return outs
 
                 # packed planes: diagonal blocks side by side on lanes
-                a0 = acc[0]
-                geo_p = jnp.concatenate([geo[i_] for i_ in range(PW)],
-                                        axis=1)
-                q_p = jnp.concatenate(
-                    [a0[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
-                     for i_ in range(PW)], axis=1) * geo_p
+                def dcat(a):
+                    return jnp.concatenate(
+                        [a[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
+                         for i_ in range(PW)], axis=1)
+                if lit and not center:
+                    # per-step lit: the accumulators are already (P1, T);
+                    # reconstitute P2 = 1 - T once and shift BOTH planes
+                    # (exactly the unpaired epilogue's img4 = [a0, 1 - a1])
+                    planes = [dcat(acc[0]), 1.0 - dcat(acc[1])]
+                else:
+                    geo_p = jnp.concatenate([geo[i_] for i_ in range(PW)],
+                                            axis=1)
+                    planes = [dcat(acc[0]) * geo_p]
                 if center:
-                    a1 = acc[1]
                     se_p = bcat([jnp.broadcast_to(
                         gfs(i_, _G_SCALE) * gfs(i_, _G_EXT), (1, RM))
                         for i_ in range(PW)])
-                    t_p = se_p * jnp.maximum(jnp.concatenate(
-                        [a1[i_ * RM:(i_ + 1) * RM, i_ * RM:(i_ + 1) * RM]
-                         for i_ in range(PW)], axis=1), 0.0)
+                    t_p = se_p * jnp.maximum(dcat(acc[1]), 0.0)
 
                 if not _abl("fan"):
-                    q_p = shift_packed(q_p, du, 1)
+                    planes = shift_packed(planes, du, 1)
                 if row_fan:
                     jjc = jax.lax.broadcasted_iota(
                         jnp.int32, (RM, 1), 0).astype(jnp.float32)
@@ -1671,14 +1761,17 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                     dw = jnp.minimum(dw, (RM - 1.0 - 1e-3) - jjc)
                     n_clamp = n_clamp + jnp.sum(clamped_y.astype(jnp.int32))
                     if not _abl("fan"):
-                        q_p = shift_packed(q_p, dw, 0)
+                        planes = shift_packed(planes, dw, 0)
 
+                if lit and not center:
+                    # per-step lit planes are already (P1, P2): no exps
+                    P1m_p, P2m_p = planes
                 # exps at march resolution, packed
-                if _abl("exps"):
-                    P2m_p = q_p
-                    P1m_p = t_p + q_p if center else q_p
+                elif _abl("exps"):
+                    P2m_p = planes[0]
+                    P1m_p = t_p + planes[0] if center else planes[0]
                 else:
-                    P2m_p = 1.0 - jnp.exp(-q_p)
+                    P2m_p = 1.0 - jnp.exp(-planes[0])
                     P1m_p = jnp.exp(-t_p) * P2m_p if center else P2m_p
                 pres = [(P1m_p[:, i_ * RM:(i_ + 1) * RM],
                          P2m_p[:, i_ * RM:(i_ + 1) * RM])

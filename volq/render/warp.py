@@ -1277,9 +1277,9 @@ def render_warp_canvas(particles: Particles, volumes, camera: Camera,
             warnings.warn(
                 "warp_pair=1 requested but pairing is outside its "
                 "envelope for this scene (requires the fused Pallas "
-                "kernel, VMEM-resident or canvas_vmem-streamed slab "
-                "banks, center/unlit lighting, an even particle count, "
-                "and march_rect <= 96) — rendering unpaired",
+                "kernel, slab banks — VMEM-resident or streamed for "
+                "canvas_vmem/per-step-lit configs — an even particle "
+                "count, and march_rect <= 96) — rendering unpaired",
                 stacklevel=2)
 
     z = jnp.where(geom["valid"], geom["vz"], jnp.inf)
