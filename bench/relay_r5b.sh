@@ -29,8 +29,9 @@ run ab_c4 3600 python bench/flag_ab.py c4 \
   pk16+vx48+fb48 pk8+vx32+fb48 pk8+vx48+rect96+fb48
 
 # 2. perstep: pairing landed (round 5) — measure the win + pack compound
+#    (slab_vx is INERT in per-step mode — slab_vx_eff forces V)
 run ab_c4ps 3600 python bench/flag_ab.py c4 \
-  perstep+fb48 perstep+pk8+fb48 perstep+pk8+vx48+fb48
+  perstep+fb48 perstep+pk8+fb48 perstep+pk16+fb48
 
 # 3. PSNR gates for the non-bit-exact levers (vs base and vs rm0-class
 #    reference): 48 dB floor

@@ -56,7 +56,12 @@ def test_emit_rewrites_marked_sections(tmp_path, monkeypatch):
     (out / "suite.json").write_text(json.dumps(suite))
     (out / "device_diff.json").write_text(json.dumps(DIFFS))
     (out / "roofline.json").write_text(json.dumps(ROOFLINE))
-    (out / "calib.json").write_text(json.dumps(CALIB))
+    # the calibration is a COMMITTED artifact since round 5 — the
+    # emitter reads it from the ladders dir beside OUT, not from the
+    # gitignored out/ (VERDICT r4 "commit calib.json")
+    ladders = tmp_path / "ladders"
+    ladders.mkdir()
+    (ladders / "calib.json").write_text(json.dumps(CALIB))
     (out / "bench.json").write_text(json.dumps(
         {"metric": "x", "value": 514.5, "unit": "Mrays/s",
          "vs_baseline": 1.029, "window_mrays": [509.0, 514.5, 520.1]}))
