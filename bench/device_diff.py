@@ -275,6 +275,38 @@ def case_c4_class_sigma_resident():
         TOL_BF16_FUSED_LIT
 
 
+def case_c4_class_perstep_paired():
+    """The reference-faithful shading mode (SURVEY C8: per-SAMPLE light
+    marching, light_mode="march") through the round-5 PAIRED LITP
+    kernel (DESIGN 5m: one [MR,2V]x[2V,2V] dot1 over density+light
+    slabs per step, full-lane sig/tau dot2s + P1/T recurrence).  Same
+    c4-class shrink as the center case (128 particles); pairing must
+    engage in per-step mode — asserted via pair_enabled's lit,
+    center=False envelope."""
+    import jax.numpy as jnp
+    from volq.scene.config import c4
+    from volq.oracle.warp_cpu import render_warp_oracle
+    from volq.render.kernel import pair_enabled
+    from volq.volume.lightbake import bake_light_volumes, dominant_axis
+    from volq.engine.loop import setup, render_only
+
+    cfg = c4()
+    cfg = dataclasses.replace(
+        cfg, n_particles=128,
+        render=dataclasses.replace(cfg.render, light_mode="march"))
+    assert pair_enabled(cfg, 128, True, True, False), \
+        "case must exercise the PAIRED per-step LITP kernel"
+    state, camera, light = setup(cfg)
+    lvol = bake_light_volumes(state.volumes, jnp.asarray(light.direction),
+                              axis=dominant_axis(cfg.light.direction))
+    img, _ = render_only(state, camera, light, cfg)
+    ref = render_warp_oracle(state.particles, state.volumes, camera, light,
+                             cfg, light_volumes=np.asarray(lvol))
+    return "c4class_warp_pallas_bf16_perstep_paired_1080p", \
+        float(np.abs(np.asarray(img, np.float64) - ref).max()), \
+        TOL_BF16_FUSED_LIT
+
+
 def case_c5_class_4k_anim_coarse_ilv():
     """A config-5-class scene exactly as SHIPPED single-chip: 4K frame,
     time-animated 4D-noise bank baked IN-FRAME at t>0 (the bank and the
@@ -318,7 +350,8 @@ CASES = (case_c1_exact, case_c2_warp_fp32, case_c2_warp, case_c2_slab,
          case_c3_class_warp_lit, case_c3_class_vx64,
          case_c4_class_center_light_paired, case_c3_class_coarse_ilv,
          case_c4_class_coarse_ilv_bf16c, case_c4_class_bands_resident,
-         case_c4_class_sigma_resident, case_c5_class_4k_anim_coarse_ilv)
+         case_c4_class_sigma_resident, case_c4_class_perstep_paired,
+         case_c5_class_4k_anim_coarse_ilv)
 
 
 def main():
