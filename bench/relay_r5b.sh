@@ -24,11 +24,13 @@ run() {
 
 # 1. c4 center compound ladder at the production cadence (levers that
 #    are bit-exact or already-gated first, then the gated candidates)
+#    (bf16c is a NO-OP on c4 — the preset already ships
+#    warp_canvas_fp32=False, so round-2's "pk8+bf16c+vx48 8.79 ms"
+#    row was pk8+vx48)
 run ab_c4 5400 python bench/flag_ab.py c4 \
   base+fb48 pk8+fb48 pk8+vx48+fb48 pk8+vx48+ilv+fb48 \
   pk16+vx48+fb48 pk8+vx32+fb48 pk8+vx48+rect96+fb48 \
-  pk8+bf16c+vx48+fb48 pk8+bf16c+vx48+rect96+fb48 \
-  pk16+bf16c+vx48+rect96+fb48
+  pk8+vx32+rect96+fb48 pk16+vx48+rect96+fb48
 
 # 2. perstep: pairing landed (round 5) — measure the win + pack compound
 #    (slab_vx is INERT in per-step mode — slab_vx_eff forces V)
@@ -38,7 +40,7 @@ run ab_c4ps 3600 python bench/flag_ab.py c4 \
 # 3. PSNR gates for the non-bit-exact levers (vs base and vs rm0-class
 #    reference): 48 dB floor
 run psnr_c4 3600 python bench/psnr_c3.py c4 base rm0 vx48 vx32 pk8+vx48 \
-  rect96 pk8+bf16c+vx48+rect96
+  rect96 pk8+vx48+rect96 pk8+vx32+rect96
 cp -f bench/out/r5b_ab_c4.log bench/ladders/ 2>/dev/null
 cp -f bench/out/r5b_ab_c4ps.log bench/ladders/ 2>/dev/null
 cp -f bench/out/r5b_psnr_c4.log bench/ladders/ 2>/dev/null
