@@ -37,15 +37,17 @@ run() {
 }
 
 # 1. c4 center compound ladder at the production cadence (bf16c is a
-#    NO-OP on c4 — the preset already ships warp_canvas_fp32=False)
+#    NO-OP on c4 — the preset already ships warp_canvas_fp32=False;
+#    pk16 arms dropped: warp_pack caps at 8 by validation, and the
+#    measured pk trend is flat past pk4 — DESIGN 5k)
 run ab_c4 5400 python bench/flag_ab.py c4 \
   base+fb48 pk8+fb48 pk8+vx48+fb48 pk8+vx48+ilv+fb48 \
-  pk16+vx48+fb48 pk8+vx32+fb48 pk8+vx48+rect96+fb48 \
-  pk8+vx32+rect96+fb48 pk16+vx48+rect96+fb48
+  pk4+vx48+fb48 pk8+vx32+fb48 pk8+vx48+rect96+fb48 \
+  pk8+vx32+rect96+fb48 pk4+vx32+rect96+fb48
 
 # 2. perstep: pairing landed (round 5) — measure the win + pack compound
 run ab_c4ps 3600 python bench/flag_ab.py c4 \
-  perstep+fb48 perstep+pk8+fb48 perstep+pk16+fb48
+  perstep+fb48 perstep+pk8+fb48 perstep+pk4+fb48
 
 # 3. PSNR gates for the non-bit-exact levers: 48 dB floor
 run psnr_c4 3600 python bench/psnr_c3.py c4 base rm0 vx48 vx32 pk8+vx48 \
