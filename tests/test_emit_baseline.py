@@ -17,6 +17,7 @@ SUITE = [
                       "pair": 0, "fused": 1, "dtype": "bf16"},
      "stats": {"alive": 1024, "rect_overflow": 0, "shift_clamped": 0}},
     {"config": "c5shard", "frame_ms": 16.0, "mrays_per_chip_s": 515.0,
+     "window_mrays": [511.3, 515.0, 518.2],
      "engine_flags": {"engine": "warp", "rect": 176, "rm": 80, "vx": 64,
                       "pair": 1, "fused": 1, "dtype": "bf16",
                       "light": "center"},
@@ -73,6 +74,7 @@ def test_emit_rewrites_marked_sections(tmp_path, monkeypatch):
     assert "middle prose" in text and "tail" in text       # surgery only
     assert "| c3 |" in text and "**514.5**" in text
     assert "509.0..520.1" in text                          # window band
+    assert "511.3..518.2" in text                          # c5 /chip band
     assert "vx 64" in text and "paired" in text            # engine flags
     assert "rect_overflow=2" in text                       # nonzero stat
     assert "shift_clamped" not in text.split("DEVICE_DIFF")[0] \
