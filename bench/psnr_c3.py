@@ -113,8 +113,13 @@ def main():
                           jax.device_get(stats).items()}
         print(f"{name:>8}: rendered", flush=True)
 
+    # Reference preference: exact > plain rm0 > any compound ending in
+    # rm0 (e.g. ``perstep+rm0`` when gating per-step-lit arms against a
+    # full-resolution march of the SAME shading mode) > base.
+    compound_rm0 = [n for n in imgs if n.endswith("+rm0")]
     ref = ("exact" if "exact" in imgs
-           else "rm0" if "rm0" in imgs else "base")
+           else "rm0" if "rm0" in imgs
+           else compound_rm0[0] if compound_rm0 else "base")
     print(f"\npreset {preset}; reference = {ref}; base stats: "
           f"{base_stats}")
     for name, img in imgs.items():
