@@ -39,6 +39,19 @@ def _scene(cfg):
     return state, camera, light, np.asarray(img, np.float64)
 
 
+def _preset_suffix(cfg):
+    """Row-name suffix carrying a live preset's non-default warp flags
+    (vx/rect/pk) so a preset flip RENAMES the device-diff row rather
+    than silently re-using the old layout's number."""
+    r = cfg.render
+    s = "_rect%d" % r.warp_rect
+    if r.warp_slab_vx:
+        s += "_vx%d" % r.warp_slab_vx
+    if r.warp_pack > 1:
+        s += "_pk%d" % r.warp_pack
+    return s
+
+
 def case_c1_exact():
     """Config 1 (exact gather engine, ortho, fp32) vs raymarch oracle."""
     from volq.scene.config import c1
@@ -121,7 +134,12 @@ def case_c4_class_center_light_paired():
     the preset carries warp_pair=1 and the shrunk scene stays inside the
     pairing envelope, asserted below) shrunk to 128 particles for
     oracle speed (halved from 256 in round 4 so the whole 11-case table
-    completes on one host core; pairing still engages — asserted)."""
+    completes on one host core; pairing still engages — asserted).
+
+    The case follows the LIVE c4 preset by construction, so the row name
+    carries the preset's non-default warp flags (vx/rect/pk) — a preset
+    flip renames the row instead of silently re-using the old layout's
+    number (round-5 flip: rect 112->96, vx 48, pk4)."""
     import jax.numpy as jnp
     from volq.scene.config import c4
     from volq.oracle.warp_cpu import render_warp_oracle
@@ -139,7 +157,8 @@ def case_c4_class_center_light_paired():
     img, _ = render_only(state, camera, light, cfg)
     ref = render_warp_oracle(state.particles, state.volumes, camera, light,
                              cfg, light_volumes=np.asarray(lvol))
-    return "c4class_warp_pallas_bf16_centerlit_paired_1080p", \
+    return "c4class_warp_pallas_bf16_centerlit_paired%s_1080p" \
+        % _preset_suffix(cfg), \
         float(np.abs(np.asarray(img, np.float64) - ref).max()), \
         TOL_BF16_FUSED_LIT
 
@@ -302,7 +321,8 @@ def case_c4_class_perstep_paired():
     img, _ = render_only(state, camera, light, cfg)
     ref = render_warp_oracle(state.particles, state.volumes, camera, light,
                              cfg, light_volumes=np.asarray(lvol))
-    return "c4class_warp_pallas_bf16_perstep_paired_1080p", \
+    return "c4class_warp_pallas_bf16_perstep_paired%s_1080p" \
+        % _preset_suffix(cfg), \
         float(np.abs(np.asarray(img, np.float64) - ref).max()), \
         TOL_BF16_FUSED_LIT
 

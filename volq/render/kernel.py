@@ -96,6 +96,22 @@ _G_AYF, _G_AXF = 14, 15
 _GF = 16
 
 
+# Mosaic's default scoped-VMEM budget is 16 MiB; some measurement arms
+# (rm48 compounds, wide packs) spill past it by a few hundred KiB while
+# total VMEM (128 MiB on v5e) has plenty of room.  Env-gated so the A/B
+# harness can admit those arms; 0 = compiler default.  A preset that
+# ships a config needing this must carry it as a config flag instead.
+_VMEM_LIMIT_KIB = int(_os.environ.get("VOLQ_VMEM_LIMIT_KIB", "0"))
+
+
+def _compiler_params() -> "pltpu.CompilerParams":
+    if _VMEM_LIMIT_KIB:
+        return pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=_VMEM_LIMIT_KIB * 1024)
+    return pltpu.CompilerParams(has_side_effects=True)
+
+
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -1974,7 +1990,7 @@ def march_warp_pallas(particles: Particles, volumes, camera: Camera,
                        jax.ShapeDtypeStruct((1, 1), jnp.int32)],
             input_output_aliases={} if RES else {alias_idx: 0},
             interpret=_interpret(),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=_compiler_params(),
         )(vidx, flip, vld_i, comp["oy"], comp["ox"], comp["dy"],
           comp["dx"], comp["ov"], comp["wide"], *inputs,
           *([] if RES else [canvas]))
@@ -2284,5 +2300,5 @@ def composite_chunk_pallas(canvas, images, geom, cfg: SceneConfig, y_start,
         input_output_aliases={7: 0},   # canvas input (after 6 prefetch
                                        # args + the image array)
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(order, oy_al, ox_al, dy, dx, ov, images, canvas0)

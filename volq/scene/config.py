@@ -453,7 +453,17 @@ def c4() -> SceneConfig:
         camera=CameraConfig(eye=(0.0, 3.0, -15.0), look_at=(0.0, 0.5, 0.0),
                             fov_y_deg=40.0),
         render=RenderConfig(width=1920, height=1080, steps=20, light_steps=8,
-                            engine="warp", warp_fp32=False, warp_rect=112,
+                            engine="warp", warp_fp32=False,
+                            # round-5 compound (bench/ladders/r5b_ab_c4.log,
+                            # r5b_psnr_c4.log): rect 112->96 + x-downsampled
+                            # banks vx=48 + grid packing pk4 measure
+                            # 8.70 ms vs 9.12 base at fb48 (-4.6%), gated
+                            # at 49.0 dB vs the full-res march (48 dB
+                            # floor); rect 96 alone RAISES PSNR to 50.4
+                            # (tighter foot_p99 rects), buying the vx=48
+                            # headroom.  vx32 compounds fail the gate
+                            # (47.2), rm48 compounds blow scoped VMEM.
+                            warp_rect=96, warp_slab_vx=48, warp_pack=4,
                             warp_march_rect=64, light_mode="center",
                             warp_pair=1,
                             warp_canvas_fp32=False, warp_shift_max=6,
