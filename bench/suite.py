@@ -92,6 +92,7 @@ def engine_flags(cfg):
                  pair=int(pair), fused=int(bool(r.warp_fused)),
                  coarse=int(bool(r.warp_coarse)),
                  ilv=int(bool(r.warp_interleave)),
+                 pack=int(r.warp_pack),
                  dtype="fp32" if r.warp_fp32 else "bf16")
         if r.light_steps > 0:
             f["light"] = r.light_mode
